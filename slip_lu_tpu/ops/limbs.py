@@ -1,0 +1,73 @@
+"""Host <-> device conversion between Python ints and fixed-width limb arrays.
+
+A value v is represented as (sign, mag) where sign is int32 in {-1, 0, +1}
+and mag is int32[..., W], little-endian base-2**16 limbs of |v|. This is the
+framework's replacement for GMP mpz_t (SURVEY.md section 7 design stance):
+static shapes, no pointers, VPU-friendly.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Tuple
+
+import numpy as np
+
+LIMB_BITS = 16
+LIMB_BASE = 1 << LIMB_BITS
+LIMB_MASK = LIMB_BASE - 1
+
+
+def width_for_bits(bits: int) -> int:
+    """Limbs needed to hold a magnitude of `bits` bits (at least 1)."""
+    return max(1, -(-bits // LIMB_BITS))
+
+
+def ints_to_limbs(values: Iterable[int], W: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Pack Python ints into (sign [N], mag [N, W]) int32 arrays.
+
+    Raises OverflowError if any |value| needs more than W limbs — callers
+    choose W from the IPGE bit-growth bound (slip_lu_tpu.tpu.bounds).
+    """
+    vals = list(values)
+    n = len(vals)
+    sign = np.zeros(n, dtype=np.int32)
+    mag = np.zeros((n, W), dtype=np.int32)
+    for k, v in enumerate(vals):
+        v = int(v)
+        if v > 0:
+            sign[k] = 1
+        elif v < 0:
+            sign[k] = -1
+        a = abs(v)
+        for w in range(W):
+            if a == 0:
+                break
+            mag[k, w] = a & LIMB_MASK
+            a >>= LIMB_BITS
+        if a != 0:
+            raise OverflowError(f"value needs more than W={W} limbs "
+                                f"({abs(int(vals[k])).bit_length()} bits)")
+    return sign, mag
+
+
+def limbs_to_ints(sign: np.ndarray, mag: np.ndarray) -> np.ndarray:
+    """Unpack (sign, mag) back into an object array of Python ints."""
+    sign = np.asarray(sign)
+    mag = np.asarray(mag)
+    W = mag.shape[-1]
+    flat_s = sign.reshape(-1)
+    flat_m = mag.reshape(-1, W)
+    out = np.empty(flat_s.shape[0], dtype=object)
+    for k in range(flat_s.shape[0]):
+        a = 0
+        for w in range(W - 1, -1, -1):
+            a = (a << LIMB_BITS) | int(flat_m[k, w])
+        out[k] = int(flat_s[k]) * a
+    return out.reshape(sign.shape)
+
+
+def matrix_to_limbs(dense_ints: np.ndarray, W: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Pack a 2-D object array of ints into (sign [m,n], mag [m,n,W])."""
+    m, n = dense_ints.shape
+    sign, mag = ints_to_limbs(dense_ints.reshape(-1), W)
+    return sign.reshape(m, n), mag.reshape(m, n, W)

@@ -1,0 +1,160 @@
+"""Host glue for the TPU execution path: pack -> factor -> solve -> unpack.
+
+The TPU analogue of SLIP_backslash's factorize+solve middle (reference:
+SLIP_backslash.c; SLIP_LU_factorize.c; SLIP_LU_solve.c). The host:
+
+  1. computes the IPGE bit-growth bound and chooses the limb width W,
+  2. packs the integerized, column-permuted matrix into limb tensors,
+  3. runs the device factorization and substitution kernels,
+  4. on overflow flags widens W and retries (bounded; the analogue of the
+     reference's GMP OOM recovery, but for fixed-width arithmetic),
+  5. unpacks exact rationals and undoes permutations and scales.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..analyze import Analysis
+from ..convert import csc_to_dense, matrix_copy
+from ..errors import (SlipIncorrectInputError, SlipLimbOverflowError,
+                      SlipSingularError)
+from ..factorize import Factorization
+from ..matrix import Kind, SlipMatrix, Type
+from ..options import Options
+from ..ops.limbs import ints_to_limbs, limbs_to_ints, matrix_to_limbs
+from .bounds import factor_width, solve_width
+from .factor import factor_dense_limbs
+from .solve import solve_dense_limbs
+
+_MAX_RETRIES = 3
+
+
+def _tol_dyadic(tol: float) -> Tuple[np.ndarray, int]:
+    """tol as (numerator limb magnitude, power-of-two shift)."""
+    f = Fraction(tol)  # float -> exact dyadic
+    shift = f.denominator.bit_length() - 1
+    _, mag = ints_to_limbs([f.numerator], max(1, -(-f.numerator.bit_length() // 16)))
+    return mag[0], shift
+
+
+def _pack_factor_inputs(A: SlipMatrix, q: np.ndarray, W: int):
+    dense = csc_to_dense(A)
+    perm = dense.x[:, np.asarray(q, dtype=np.int64)]
+    S, M = matrix_to_limbs(perm, W)
+    return jnp.asarray(S), jnp.asarray(M)
+
+
+def factor_tpu(A: SlipMatrix, analysis: Analysis,
+               options: Optional[Options] = None) -> Factorization:
+    """Device REF LU returning the same Factorization as the host oracle.
+
+    Bit-exact parity with slip_lu_tpu.factorize.factorize is asserted in
+    tests (same pivots, same L/U/rhos integers).
+    """
+    options = options or Options()
+    options.validate()
+    if A.kind != Kind.CSC or A.type != Type.MPZ:
+        raise SlipIncorrectInputError("factor_tpu requires CSC x MPZ input")
+    if A.m != A.n:
+        raise SlipIncorrectInputError(f"matrix must be square, got {A.m}x{A.n}")
+    n = A.n
+    q = np.asarray(analysis.q, dtype=np.int64)
+    if n == 0:
+        return Factorization(n=0, Lcols=[], Ucols=[], rhos=[],
+                             pinv=np.zeros(0, np.int64), row_perm=np.zeros(0, np.int64),
+                             q=q, scale=A.scale)
+    tol_mag, tol_shift = _tol_dyadic(options.tol)
+    W = factor_width(A, options.max_limbs)
+    for attempt in range(_MAX_RETRIES):
+        S, M = _pack_factor_inputs(A, q, W)
+        FS, FM, rowidx, singular, overflow = factor_dense_limbs(
+            S, M, jnp.asarray(q, dtype=jnp.int32), int(options.pivot),
+            jnp.asarray(tol_mag), tol_shift)
+        if bool(singular):
+            raise SlipSingularError("device factorization found no eligible pivot")
+        if not bool(overflow):
+            return _unpack_factorization(np.asarray(FS), np.asarray(FM),
+                                         np.asarray(rowidx), q, A.scale)
+        W *= 2  # widen-and-retry
+    raise SlipLimbOverflowError(
+        f"factorization exceeded limb budget after {_MAX_RETRIES} widenings")
+
+
+def _unpack_factorization(FS: np.ndarray, FM: np.ndarray, rowidx: np.ndarray,
+                          q: np.ndarray, scale: Fraction) -> Factorization:
+    n = FS.shape[0]
+    vals = limbs_to_ints(FS, FM)  # [n, n] object ints
+    rhos = [int(vals[k, k]) for k in range(n)]
+    pinv = np.empty(n, dtype=np.int64)
+    row_perm = np.asarray(rowidx, dtype=np.int64)
+    for k in range(n):
+        pinv[int(rowidx[k])] = k
+    Lcols = []
+    Ucols = []
+    for k in range(n):
+        lcol = [(int(rowidx[i]), int(vals[i, k])) for i in range(k, n)
+                if vals[i, k] != 0]
+        ucol = [(r, int(vals[r, k])) for r in range(k) if vals[r, k] != 0]
+        ucol.append((k, rhos[k]))
+        Lcols.append(lcol)
+        Ucols.append(ucol)
+    return Factorization(n=n, Lcols=Lcols, Ucols=Ucols, rhos=rhos, pinv=pinv,
+                         row_perm=row_perm, q=np.asarray(q, np.int64), scale=scale)
+
+
+def factorize_solve_tpu(A: SlipMatrix, analysis: Analysis, b: SlipMatrix,
+                        options: Optional[Options] = None) -> SlipMatrix:
+    """Full device path: factor + substitute on device, exact MPQ result."""
+    options = options or Options()
+    options.validate()
+    if A.kind != Kind.CSC or A.type != Type.MPZ:
+        raise SlipIncorrectInputError("TPU path requires CSC x MPZ input")
+    n = A.n
+    if b.m != n:
+        raise SlipIncorrectInputError(f"b has {b.m} rows, matrix has {n}")
+    bz = matrix_copy(b, Kind.DENSE, Type.MPZ, options)
+    nrhs = bz.n
+    if n == 0:
+        return SlipMatrix.allocate(Kind.DENSE, Type.MPQ, 0, nrhs)
+    q = np.asarray(analysis.q, dtype=np.int64)
+    tol_mag, tol_shift = _tol_dyadic(options.tol)
+    W = factor_width(A, options.max_limbs)
+    Ws = solve_width(A, bz.x, W, n, options.max_limbs)
+    for attempt in range(_MAX_RETRIES):
+        S, M = _pack_factor_inputs(A, q, W)
+        FS, FM, rowidx, singular, f_ovf = factor_dense_limbs(
+            S, M, jnp.asarray(q, dtype=jnp.int32), int(options.pivot),
+            jnp.asarray(tol_mag), tol_shift)
+        if bool(singular):
+            raise SlipSingularError("device factorization found no eligible pivot")
+        if bool(f_ovf):
+            W *= 2
+            Ws = max(Ws, 2 * W + 2)
+            continue
+        rowidx_np = np.asarray(rowidx, dtype=np.int64)
+        perm_b = bz.x[rowidx_np, :]  # permute rows into pivot order
+        VSn, VMn = matrix_to_limbs(perm_b, Ws)
+        XS, XM, s_ovf = solve_dense_limbs(FS, FM, jnp.asarray(VSn), jnp.asarray(VMn))
+        if bool(s_ovf):
+            W *= 2
+            Ws = 2 * Ws
+            continue
+        det_vals = limbs_to_ints(np.asarray(FS[n - 1, n - 1]).reshape(1),
+                                 np.asarray(FM[n - 1, n - 1])[None, :])
+        det = int(det_vals[0])
+        xhat = limbs_to_ints(np.asarray(XS), np.asarray(XM))  # [n, nrhs]
+        factor = A.scale / bz.scale
+        x = SlipMatrix.allocate(Kind.DENSE, Type.MPQ, n, nrhs)
+        for k in range(n):
+            oc = int(q[k])
+            for c in range(nrhs):
+                x.x[oc, c] = Fraction(int(xhat[k, c]), det) * factor
+        return x
+    raise SlipLimbOverflowError(
+        f"solve exceeded limb budget after {_MAX_RETRIES} widenings")

@@ -1,0 +1,79 @@
+"""IPGE bit-growth bounds -> fixed limb width W.
+
+The reference never needs this: GMP integers grow on demand, and the user
+guide only cites the polynomial Hadamard-type bound (SURVEY.md section 6).
+On TPU the width must be static, so we compute the bound up front:
+
+every entry of L, U, every pivot rho_k, and every intermediate IPGE value
+x_i^(t) is (+/-) a minor of the integerized matrix A (IPGE theory), hence
+bounded by the Hadamard product bound prod_j ||A(:,j)||_2 over any column
+subset — and since nonzero integer columns have norm >= 1, the full-column
+product bounds every minor. For the solve, Cramer's rule bounds the scaled
+solution x_hat by the same product with one column replaced by b.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable
+
+from ..matrix import SlipMatrix
+from ..ops.limbs import LIMB_BITS
+
+_GUARD_BITS = 18  # sign/rounding slack on top of the analytic bound
+
+
+def _log2_colnorm_bits(col_vals: Iterable[int]) -> float:
+    """log2 of the 2-norm of an integer column (0 for empty/zero columns)."""
+    s = 0
+    for v in col_vals:
+        s += v * v
+    if s == 0:
+        return 0.0
+    # exact-ish log2 of a big int: bit_length plus a float correction
+    b = s.bit_length()
+    top = s >> max(0, b - 53)
+    return 0.5 * (math.log2(max(top, 1)) + max(0, b - 53))
+
+
+def hadamard_bits(A: SlipMatrix) -> int:
+    """Bits bounding |any minor| of a CSC x MPZ matrix (>=1)."""
+    total = 0.0
+    for col in range(A.n):
+        vals = [int(A.x[idx]) for idx in range(int(A.p[col]), int(A.p[col + 1]))]
+        total += _log2_colnorm_bits(vals)
+    return max(1, math.ceil(total))
+
+
+def rhs_bits(b_ints) -> int:
+    """Bits of the largest |b| entry column norm (Cramer replacement)."""
+    mx = 0.0
+    ncols = b_ints.shape[1] if b_ints.ndim == 2 else 1
+    for c in range(ncols):
+        col = b_ints[:, c] if b_ints.ndim == 2 else b_ints
+        mx = max(mx, _log2_colnorm_bits(int(v) for v in col))
+    return max(1, math.ceil(mx))
+
+
+def factor_width(A: SlipMatrix, max_limbs=None) -> int:
+    """Limb width W for factorization values (L, U, rhos, intermediates)."""
+    bits = hadamard_bits(A) + _GUARD_BITS
+    W = -(-bits // LIMB_BITS)
+    if max_limbs is not None:
+        W = min(W, max_limbs)
+    return max(2, W)
+
+
+def solve_width(A: SlipMatrix, b_ints, W_factor: int, n: int, max_limbs=None) -> int:
+    """Limb width for the substitution phase.
+
+    Covers rho_{n-1} * y (forward result times determinant, <= 2H + R bits
+    since y and x_hat are minors of [A|b] <= 2^(H+R) and det <= 2^H) and
+    every back-substitution partial sum (+ log2 n accumulation slack).
+    """
+    H = hadamard_bits(A)
+    bits = 2 * H + rhs_bits(b_ints) + max(1, n).bit_length() + _GUARD_BITS
+    W = -(-bits // LIMB_BITS)
+    if max_limbs is not None:
+        W = min(W, max_limbs)
+    return max(W, W_factor + 1)

@@ -7,10 +7,17 @@ carry-over (d)). Must set flags before jax imports anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: this machine's sitecustomize forces JAX_PLATFORMS=axon (the tunneled
+# TPU); env vars alone cannot override it. jax.config.update after import
+# can — and XLA_FLAGS must still be set before backend initialization.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import random
 
