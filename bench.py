@@ -1,0 +1,72 @@
+"""Benchmark: exact-solve throughput (nnz/s) on the device path vs host oracle.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "nnz/s", "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md), so the baseline is the
+self-measured host oracle — the reference algorithm (left-looking REF LU +
+exact rational solve, reimplemented with Python ints) on the same matrix
+on this machine. vs_baseline = device nnz/s divided by oracle nnz/s.
+Correctness is asserted (exact rational A·x == b) before timing counts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    mat = os.environ.get("SLIP_BENCH_MAT", "data/ExampleMats/grid8_mat.txt")
+    rhs = os.environ.get("SLIP_BENCH_RHS", "data/ExampleMats/grid8_v.txt")
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, here)
+    os.chdir(here)
+
+    from slip_lu_tpu.analyze import analyze
+    from slip_lu_tpu.backslash import backslash
+    from slip_lu_tpu.convert import matrix_copy
+    from slip_lu_tpu.io import read_dense, read_triplet
+    from slip_lu_tpu.matrix import Kind, Type
+    from slip_lu_tpu.options import Options
+    from slip_lu_tpu.solve import check_solution
+    from slip_lu_tpu.tpu.backslash_tpu import factorize_solve_tpu
+
+    A = matrix_copy(read_triplet(mat), Kind.CSC, Type.MPZ)
+    b = read_dense(rhs)
+    nnz = int(A.p[A.n])
+    opts = Options()
+    ana = analyze(A, opts)
+
+    # --- baseline: host oracle (the reference algorithm, Python ints) ---
+    t0 = time.perf_counter()
+    x_host = backslash(A, b, Type.MPQ, opts)
+    host_s = time.perf_counter() - t0
+    check_solution(A, x_host, b)
+
+    # --- device path: warm up (compile), then time ---
+    x_dev = factorize_solve_tpu(A, ana, b, opts)  # compile + run
+    check_solution(A, x_dev, b)
+    reps = int(os.environ.get("SLIP_BENCH_REPS", "3"))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        x_dev = factorize_solve_tpu(A, ana, b, opts)
+    dev_s = (time.perf_counter() - t0) / reps
+
+    for i in range(A.n):
+        assert x_dev.x[i, 0] == x_host.x[i, 0], "device/oracle mismatch"
+
+    dev_nnz_s = nnz / dev_s
+    host_nnz_s = nnz / host_s
+    print(json.dumps({
+        "metric": "exact_solve_throughput",
+        "value": round(dev_nnz_s, 2),
+        "unit": "nnz/s",
+        "vs_baseline": round(dev_nnz_s / host_nnz_s, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
