@@ -31,7 +31,7 @@ def ints_to_limbs(values: Iterable[int], W: int) -> Tuple[np.ndarray, np.ndarray
     vals = list(values)
     n = len(vals)
     sign = np.zeros(n, dtype=np.int32)
-    mag = np.zeros((n, W), dtype=np.int32)
+    buf = np.zeros((n, 2 * W), dtype=np.uint8)
     for k, v in enumerate(vals):
         v = int(v)
         if v > 0:
@@ -39,14 +39,13 @@ def ints_to_limbs(values: Iterable[int], W: int) -> Tuple[np.ndarray, np.ndarray
         elif v < 0:
             sign[k] = -1
         a = abs(v)
-        for w in range(W):
-            if a == 0:
-                break
-            mag[k, w] = a & LIMB_MASK
-            a >>= LIMB_BITS
-        if a != 0:
+        try:
+            b = a.to_bytes(2 * W, "little")
+        except OverflowError:
             raise OverflowError(f"value needs more than W={W} limbs "
-                                f"({abs(int(vals[k])).bit_length()} bits)")
+                                f"({a.bit_length()} bits)")
+        buf[k] = np.frombuffer(b, dtype=np.uint8)
+    mag = buf[:, 0::2].astype(np.int32) | (buf[:, 1::2].astype(np.int32) << 8)
     return sign, mag
 
 
@@ -57,12 +56,15 @@ def limbs_to_ints(sign: np.ndarray, mag: np.ndarray) -> np.ndarray:
     W = mag.shape[-1]
     flat_s = sign.reshape(-1)
     flat_m = mag.reshape(-1, W)
+    buf = np.empty((flat_m.shape[0], 2 * W), dtype=np.uint8)
+    buf[:, 0::2] = flat_m & 0xFF
+    buf[:, 1::2] = (flat_m >> 8) & 0xFF
+    raw = buf.tobytes()
+    stride = 2 * W
     out = np.empty(flat_s.shape[0], dtype=object)
     for k in range(flat_s.shape[0]):
-        a = 0
-        for w in range(W - 1, -1, -1):
-            a = (a << LIMB_BITS) | int(flat_m[k, w])
-        out[k] = int(flat_s[k]) * a
+        out[k] = int(flat_s[k]) * int.from_bytes(
+            raw[k * stride:(k + 1) * stride], "little")
     return out.reshape(sign.shape)
 
 

@@ -1,0 +1,271 @@
+"""Matmul-form limb arithmetic: the fast path for the IPGE kernels.
+
+The hot multiplies of REF LU all have a *shared* operand — the pivot
+rho_k scaling every entry, the pivot row x pivot column outer product,
+and the exact division by rho_{k-1} (reference: the mpz_mul / mpz_submul /
+mpz_divexact triple in slip_ref_triangular_solve.c, ~all of runtime).
+This module exploits that: a digit-convolution with a shared operand is a
+matrix product with that operand's Toeplitz matrix, so each elimination
+step becomes a handful of large dot_general contractions (MXU-friendly)
+instead of O(limbs) sequential scan iterations (ops/arith.py, kept as the
+reference implementation):
+
+  * shared multiply   : [B, La] digits @ T_shared [La, D]      -> [B, D]
+  * outer product     : [R, Lc] digits @ T_rows [Lc, C*D]      -> [R, C*D]
+  * exact division    : one *truncated* multiply by the divisor's Hensel
+    inverse mod 2**(16*check_w) — a ≡ q·d  =>  a·d⁻¹ ≡ q (mod 2**N),
+    exact whenever the true quotient fits in check_w limbs (IPGE
+    guarantees divisibility; quotient-width overflow is detected and
+    reported, the widen-and-retry path handles it);
+  * carry propagation : data-dependent while_loop (converges in ~3 passes)
+    instead of a width-long scan chain.
+
+Digits are 8-bit (products <= 255², chains << 2**31 in int32). All
+functions are jit-compatible, batched, and bit-exact (tests/test_limbs.py
+checks every op against Python ints).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+from jax import lax
+
+from .arith import (LIMB_BITS, MASK, _from_digits, _pad_to, _to_digits,
+                    inv16, mag_shr_bits, trailing_zero_bits)
+
+
+# ---------------------------------------------------------------------------
+# carry propagation (while_loop — O(1) typical passes, any-width exact)
+# ---------------------------------------------------------------------------
+
+def normalize(acc: jnp.ndarray, base_bits: int = LIMB_BITS
+              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Resolve carries/borrows of an int32 digit accumulator.
+
+    Entries may exceed the base or be negative (borrows). Returns
+    (digits in [0, 2**base_bits), carry_out) where carry_out collects
+    everything that flowed past the top digit (0 for in-range results,
+    negative if the represented value was negative).
+    """
+    mask = (1 << base_bits) - 1
+
+    def cond(state):
+        acc, _ = state
+        return jnp.any((acc >> base_bits) != 0)
+
+    def body(state):
+        acc, out = state
+        digs = acc & mask
+        car = acc >> base_bits           # arithmetic shift: handles borrows
+        shifted = jnp.concatenate(
+            [jnp.zeros_like(car[..., :1]), car[..., :-1]], axis=-1)
+        return digs + shifted, out + car[..., -1]
+
+    out0 = jnp.zeros_like(acc[..., 0])
+    digs, out = lax.while_loop(cond, body, (acc, out0))
+    return digs, out
+
+
+def truncate_mag(m: jnp.ndarray, out_w: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Truncate a limb magnitude to out_w limbs, flagging dropped nonzeros."""
+    w = m.shape[-1]
+    if out_w >= w:
+        return _pad_to(m, out_w), jnp.zeros(m.shape[:-1], dtype=bool)
+    return m[..., :out_w], jnp.any(m[..., out_w:] != 0, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# vectorized compare / add / sub (no scans)
+# ---------------------------------------------------------------------------
+
+def mag_cmp_vec(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Lexicographic magnitude compare -> {-1, 0, +1}, fully vectorized."""
+    w = max(a.shape[-1], b.shape[-1])
+    ap, bp = _pad_to(a, w), _pad_to(b, w)
+    neq = ap != bp
+    # index of the most significant differing limb
+    idx = (w - 1) - jnp.argmax(neq[..., ::-1], axis=-1)
+    av = jnp.take_along_axis(ap, idx[..., None], axis=-1)[..., 0]
+    bv = jnp.take_along_axis(bp, idx[..., None], axis=-1)[..., 0]
+    out = jnp.sign(av - bv).astype(jnp.int32)
+    return jnp.where(jnp.any(neq, axis=-1), out, 0)
+
+
+def mag_add_vec(a: jnp.ndarray, b: jnp.ndarray, out_w: int
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """|a| + |b| -> (mag [..., out_w], overflow_flag)."""
+    w = max(a.shape[-1], b.shape[-1])
+    digs, car = normalize(_pad_to(a, w) + _pad_to(b, w))
+    if out_w > w:
+        out = _pad_to(digs, out_w).at[..., w].add(car)
+        return out, jnp.zeros(digs.shape[:-1], dtype=bool)
+    out, dropped = truncate_mag(digs, out_w)
+    return out, dropped | (car != 0)
+
+
+def mag_sub_vec(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """|a| - |b| assuming |a| >= |b| (undefined otherwise)."""
+    w = max(a.shape[-1], b.shape[-1])
+    digs, _ = normalize(_pad_to(a, w) - _pad_to(b, w))
+    return digs
+
+
+def signed_add_vec(sa, ma, sb, mb, out_w: int):
+    """(sa,ma) + (sb,mb) -> (sign, mag, overflow), vectorized."""
+    added, add_ovf = mag_add_vec(ma, mb, out_w)
+    c = mag_cmp_vec(ma, mb)
+    w = max(ma.shape[-1], mb.shape[-1])
+    ma_p, mb_p = _pad_to(ma, w), _pad_to(mb, w)
+    big = jnp.where((c >= 0)[..., None], ma_p, mb_p)
+    small = jnp.where((c >= 0)[..., None], mb_p, ma_p)
+    diff, diff_ovf = truncate_mag(mag_sub_vec(big, small), out_w)
+    sign_diff = jnp.where(c == 0, 0, jnp.where(c > 0, sa, sb))
+    opposite = sa * sb < 0
+    sign = jnp.where(opposite, sign_diff, jnp.where(sa != 0, sa, sb))
+    mag = jnp.where(opposite[..., None], diff, added)
+    ovf = jnp.where(opposite, diff_ovf, add_ovf)
+    sign = jnp.where(jnp.all(mag == 0, axis=-1), 0, sign)
+    return sign, mag, ovf
+
+
+def signed_sub_vec(sa, ma, sb, mb, out_w: int):
+    return signed_add_vec(sa, ma, -sb, mb, out_w)
+
+
+# ---------------------------------------------------------------------------
+# shared-operand multiplication as Toeplitz matmul
+# ---------------------------------------------------------------------------
+
+def _toeplitz(shared_dig: jnp.ndarray, l_in: int, d_out: int) -> jnp.ndarray:
+    """Band matrix T[..., u, d] = shared_dig[..., d-u] (0 outside)."""
+    ls = shared_dig.shape[-1]
+    u = jnp.arange(l_in, dtype=jnp.int32)[:, None]
+    d = jnp.arange(d_out, dtype=jnp.int32)[None, :]
+    idx = d - u
+    valid = (idx >= 0) & (idx < ls)
+    t = shared_dig[..., jnp.clip(idx, 0, ls - 1)]
+    return jnp.where(valid, t, 0)
+
+
+def mul_shared(a: jnp.ndarray, shared: jnp.ndarray, out_w: int
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """|a| * |shared| for a batch a [..., Wa] and one shared value [Ws].
+
+    Exact full-width product, then truncated to out_w with overflow flag.
+    One dot_general: [B, La] @ T [La, D].
+    """
+    da = _to_digits(a)
+    ds = _to_digits(shared)
+    la, ls = da.shape[-1], ds.shape[-1]
+    d_out = la + ls
+    t = _toeplitz(ds, la, d_out)
+    acc = jnp.tensordot(da, t, axes=[[-1], [0]])
+    digs, _ = normalize(acc, 8)            # carry out of la+ls digits is 0
+    limbs = _from_digits(digs)
+    return truncate_mag(limbs, out_w)
+
+
+def mul_shared_mod(a: jnp.ndarray, shared: jnp.ndarray, out_w: int
+                   ) -> jnp.ndarray:
+    """(|a| * |shared|) mod 2**(16*out_w): truncated digit convolution."""
+    da = _to_digits(a)
+    ds = _to_digits(shared)
+    d_out = 2 * out_w
+    t = _toeplitz(ds, da.shape[-1], d_out)
+    acc = jnp.tensordot(da, t, axes=[[-1], [0]])
+    digs, _ = normalize(acc, 8)            # dropped top carry == mod
+    return _from_digits(digs)
+
+
+def mul_outer(col: jnp.ndarray, row: jnp.ndarray, out_w: int
+              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Outer product of magnitudes: col [R, Wc] x row [C, Wr] -> [R, C, out_w].
+
+    out[r, c] = col[r] * row[c]; one dot_general [R, Lc] @ [Lc, C*D].
+    """
+    dc = _to_digits(col)                   # [R, Lc]
+    dr = _to_digits(row)                   # [C, Lr]
+    lc, lr = dc.shape[-1], dr.shape[-1]
+    d_out = lc + lr
+    t = _toeplitz(dr, lc, d_out)           # [C, Lc, D]
+    acc = jnp.einsum("ru,cud->rcd", dc, t)
+    digs, _ = normalize(acc, 8)
+    limbs = _from_digits(digs)
+    return truncate_mag(limbs, out_w)
+
+
+def signed_mul_shared(sa, ma, s_shared, m_shared, out_w: int):
+    mag, ovf = mul_shared(ma, m_shared, out_w)
+    sign = sa * s_shared
+    sign = jnp.where(jnp.all(mag == 0, axis=-1), 0, sign)
+    return sign, mag, ovf
+
+
+def signed_mul_outer(s_col, m_col, s_row, m_row, out_w: int):
+    mag, ovf = mul_outer(m_col, m_row, out_w)
+    sign = s_col[:, None] * s_row[None, :]
+    sign = jnp.where(jnp.all(mag == 0, axis=-1), 0, sign)
+    return sign, mag, ovf
+
+
+# ---------------------------------------------------------------------------
+# exact division: Hensel (2-adic) inverse + one truncated multiply
+# ---------------------------------------------------------------------------
+
+def _mod_sub_from_two(v: jnp.ndarray) -> jnp.ndarray:
+    """(2 - v) mod 2**(16*W) for a magnitude v [..., W]."""
+    neg = -v
+    neg = neg.at[..., 0].add(2)
+    digs, _ = normalize(neg)               # dropped borrow == mod
+    return digs
+
+
+def hensel_inv(d_odd: jnp.ndarray, out_w: int) -> jnp.ndarray:
+    """Inverse of an odd magnitude mod 2**(16*out_w) by Newton lifting.
+
+    Each iteration doubles the correct width: x <- x*(2 - d*x). O(log W)
+    small truncated multiplies, computed once per elimination step and
+    amortized over every entry's division.
+    """
+    x = jnp.zeros(d_odd.shape[:-1] + (1,), jnp.int32).at[..., 0].set(
+        inv16(d_odd[..., 0]))
+    w = 1
+    while w < out_w:
+        w = min(2 * w, out_w)
+        d_t = d_odd[..., :w] if d_odd.shape[-1] >= w else _pad_to(d_odd, w)
+        dx = mul_shared_mod(d_t, x, w)
+        x = mul_shared_mod(_pad_to(x, w), _mod_sub_from_two(dx), w)
+    return x
+
+
+def div_precompute_hensel(d: jnp.ndarray, check_w: int
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(inverse mod 2**(16*check_w) of the odd part, trailing-zero bits)."""
+    tz = trailing_zero_bits(d)
+    d_odd = mag_shr_bits(d, tz)
+    return hensel_inv(d_odd, check_w), tz
+
+
+def divexact_shared(a: jnp.ndarray, inv: jnp.ndarray, tz: jnp.ndarray,
+                    out_w: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact |a| / |d| given inv = odd(d)^-1 mod 2**(16*check_w).
+
+    check_w (= inv width) must be >= the numerator width so the true
+    quotient is representable mod 2**(16*check_w); then
+    q = (a >> tz) * inv mod 2**(16*check_w) is exact. Returns
+    (q [..., out_w], overflow flag = quotient needs > out_w limbs).
+    Requires the division to be exact — guaranteed by IPGE; bit-exactness
+    vs the Python-int oracle is asserted across the test corpus.
+    """
+    r = mag_shr_bits(a, jnp.broadcast_to(tz, a.shape[:-1]))
+    q_full = mul_shared_mod(r, inv, inv.shape[-1])
+    return truncate_mag(q_full, out_w)
+
+
+def signed_divexact_shared(s_num, m_num, s_den, inv, tz, out_w: int):
+    q, bad = divexact_shared(m_num, inv, tz, out_w)
+    sign = s_num * s_den
+    sign = jnp.where(jnp.all(q == 0, axis=-1), 0, sign)
+    return sign, q, bad

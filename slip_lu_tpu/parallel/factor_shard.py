@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops import arith
+from ..ops import matarith as mt
 from ..tpu.factor import _select_pivot
 from .shard import ROWS_AXIS
 
@@ -114,19 +114,15 @@ def _factor_local(Sl: jnp.ndarray, Ml: jnp.ndarray, qcols: jnp.ndarray,
                                              keepdims=False)      # [rpd]
         piv_col_m = lax.dynamic_index_in_dim(jnp.swapaxes(Ml, 0, 1), k, 0,
                                              keepdims=False)      # [rpd, W]
-        p1s, p1m, o1 = arith.signed_mul(rho_s, rho_m_safe[None, None, :],
-                                        Sl, Ml, W2)
-        p2s, p2m, o2 = arith.signed_mul(piv_col_s[:, None],
-                                        piv_col_m[:, None, :],
-                                        rp_s_row[None, :],
-                                        rp_m_row[None, :, :], W2)
-        ds, dm, o3 = arith.signed_sub(p1s, p1m, p2s, p2m, W2)
-        d_odd, inv0, tz = arith.div_precompute(rp_mag)
-        qs, qm, bad = arith.signed_divexact(ds, dm, rp_sign, d_odd, inv0,
-                                            tz, W)
+        p1s, p1m, _ = mt.signed_mul_shared(Sl, Ml, rho_s, rho_m_safe, W2)
+        p2s, p2m, _ = mt.signed_mul_outer(piv_col_s, piv_col_m,
+                                          rp_s_row, rp_m_row, W2)
+        ds, dm, _ = mt.signed_sub_vec(p1s, p1m, p2s, p2m, W2)
+        inv, tz = mt.div_precompute_hensel(rp_mag, W2)
+        qs, qm, bad = mt.signed_divexact_shared(ds, dm, rp_sign, inv, tz, W)
         Sl = jnp.where(mask, qs, Sl)
         Ml = jnp.where(mask[..., None], qm, Ml)
-        overflow = overflow | jnp.any(mask & (bad | o1 | o2 | o3))
+        overflow = overflow | jnp.any(mask & bad)
         return (Sl, Ml, rowidx, rho_s, rho_m_safe, singular, overflow)
 
     init = (Sl, Ml, rowidx0, jnp.int32(1), one_mag,

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops import arith
+from ..ops import matarith as mt
 from .shard import ROWS_AXIS
 
 
@@ -83,17 +83,15 @@ def _solve_local(FSl, FMl, VSl, VMl, *, n_true: int):
                                        keepdims=False)  # [rpd]
         l_m = lax.dynamic_index_in_dim(jnp.swapaxes(FMl, 0, 1), k, 0,
                                        keepdims=False)  # [rpd, W]
-        p1s, p1m, o1 = arith.signed_mul(rho_s, rho_m_safe[None, None, :],
-                                        VSl, VMl, Wp)
-        p2s, p2m, o2 = arith.signed_mul(l_s[:, None], l_m[:, None, :],
-                                        vk_s[None, :], vk_m[None, :, :], Wp)
-        ds, dm, o3 = arith.signed_sub(p1s, p1m, p2s, p2m, Wp)
-        d_odd, inv0, tz = arith.div_precompute(rp_m)
-        qs, qm, bad = arith.signed_divexact(ds, dm, rp_s, d_odd, inv0, tz, Ws)
+        p1s, p1m, _ = mt.signed_mul_shared(VSl, VMl, rho_s, rho_m_safe, Wp)
+        p2s, p2m, _ = mt.signed_mul_outer(l_s, l_m, vk_s, vk_m, Wp)
+        ds, dm, _ = mt.signed_sub_vec(p1s, p1m, p2s, p2m, Wp)
+        inv, tz = mt.div_precompute_hensel(rp_m, Wp)
+        qs, qm, bad = mt.signed_divexact_shared(ds, dm, rp_s, inv, tz, Ws)
         mask = (gids > k)[:, None]
         VSl = jnp.where(mask, qs, VSl)
         VMl = jnp.where(mask[..., None], qm, VMl)
-        ovf = ovf | jnp.any(mask & (bad | o1 | o2 | o3))
+        ovf = ovf | jnp.any(mask & bad)
         return (VSl, VMl, rho_s, rho_m_safe, ovf)
 
     state = (VSl, VMl, jnp.int32(1), one_magW, jnp.bool_(False))
@@ -101,8 +99,7 @@ def _solve_local(FSl, FMl, VSl, VMl, *, n_true: int):
 
     # ---- scale by the determinant rho_{n_true-1} ----
     det_s, det_m = _fetch_entry(FSl, FMl, n_true - 1, n_true - 1)
-    VSl, VMl, o_det = arith.signed_mul(VSl, VMl, det_s, det_m[None, None, :],
-                                       Ws)
+    VSl, VMl, o_det = mt.signed_mul_shared(VSl, VMl, det_s, det_m, Ws)
     ovf = ovf | jnp.any(o_det)
 
     # ---- back substitution ----
@@ -111,18 +108,17 @@ def _solve_local(FSl, FMl, VSl, VMl, *, n_true: int):
         j = n_true - 1 - t
         rho_s, rho_m = _fetch_entry(FSl, FMl, j, j)
         rho_m_safe = jnp.where(jnp.all(rho_m == 0), one_magW, rho_m)
-        d_odd, inv0, tz = arith.div_precompute(rho_m_safe)
+        inv, tz = mt.div_precompute_hensel(rho_m_safe, Ws)
         vj_s, vj_m = _fetch_rhs_row(VSl, VMl, j)
-        xj_s, xj_m, bad = arith.signed_divexact(vj_s, vj_m, rho_s,
-                                                d_odd, inv0, tz, Ws)
+        xj_s, xj_m, bad = mt.signed_divexact_shared(vj_s, vj_m, rho_s,
+                                                    inv, tz, Ws)
         VSl, VMl = _store_rhs_row(VSl, VMl, j, xj_s, xj_m)
         u_s = lax.dynamic_index_in_dim(jnp.swapaxes(FSl, 0, 1), j, 0,
                                        keepdims=False)
         u_m = lax.dynamic_index_in_dim(jnp.swapaxes(FMl, 0, 1), j, 0,
                                        keepdims=False)
-        ps, pm, o1 = arith.signed_mul(u_s[:, None], u_m[:, None, :],
-                                      xj_s[None, :], xj_m[None, :, :], Ws)
-        ns, nm, o2 = arith.signed_sub(VSl, VMl, ps, pm, Ws)
+        ps, pm, o1 = mt.signed_mul_outer(u_s, u_m, xj_s, xj_m, Ws)
+        ns, nm, o2 = mt.signed_sub_vec(VSl, VMl, ps, pm, Ws)
         mask = (gids < j)[:, None]
         VSl = jnp.where(mask, ns, VSl)
         VMl = jnp.where(mask[..., None], nm, VMl)

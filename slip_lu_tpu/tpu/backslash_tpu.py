@@ -18,6 +18,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..analyze import Analysis
@@ -30,6 +31,7 @@ from ..options import Options
 from ..ops.limbs import ints_to_limbs, limbs_to_ints, matrix_to_limbs
 from .bounds import factor_width, solve_width
 from .factor import factor_dense_limbs
+from .fused import factor_solve_dense
 from .solve import solve_dense_limbs
 
 _MAX_RETRIES = 3
@@ -128,27 +130,22 @@ def factorize_solve_tpu(A: SlipMatrix, analysis: Analysis, b: SlipMatrix,
     Ws = solve_width(A, bz.x, W, n, options.max_limbs)
     for attempt in range(_MAX_RETRIES):
         S, M = _pack_factor_inputs(A, q, W)
-        FS, FM, rowidx, singular, f_ovf = factor_dense_limbs(
-            S, M, jnp.asarray(q, dtype=jnp.int32), int(options.pivot),
-            jnp.asarray(tol_mag), tol_shift)
+        VSn, VMn = matrix_to_limbs(bz.x, Ws)  # natural order; device permutes
+        out = factor_solve_dense(S, M, jnp.asarray(q, dtype=jnp.int32),
+                                 jnp.asarray(VSn), jnp.asarray(VMn),
+                                 int(options.pivot), jnp.asarray(tol_mag),
+                                 tol_shift)
+        # one batched transfer for everything the host needs
+        (XS, XM, det_s, det_m, rowidx, singular, f_ovf,
+         s_ovf) = jax.device_get(out)
         if bool(singular):
             raise SlipSingularError("device factorization found no eligible pivot")
-        if bool(f_ovf):
+        if bool(f_ovf) or bool(s_ovf):
             W *= 2
-            Ws = max(Ws, 2 * W + 2)
+            Ws = max(2 * Ws, 2 * W + 2)
             continue
-        rowidx_np = np.asarray(rowidx, dtype=np.int64)
-        perm_b = bz.x[rowidx_np, :]  # permute rows into pivot order
-        VSn, VMn = matrix_to_limbs(perm_b, Ws)
-        XS, XM, s_ovf = solve_dense_limbs(FS, FM, jnp.asarray(VSn), jnp.asarray(VMn))
-        if bool(s_ovf):
-            W *= 2
-            Ws = 2 * Ws
-            continue
-        det_vals = limbs_to_ints(np.asarray(FS[n - 1, n - 1]).reshape(1),
-                                 np.asarray(FM[n - 1, n - 1])[None, :])
-        det = int(det_vals[0])
-        xhat = limbs_to_ints(np.asarray(XS), np.asarray(XM))  # [n, nrhs]
+        det = int(limbs_to_ints(det_s.reshape(1), det_m[None, :])[0])
+        xhat = limbs_to_ints(XS, XM)  # [n, nrhs]
         factor = A.scale / bz.scale
         x = SlipMatrix.allocate(Kind.DENSE, Type.MPQ, n, nrhs)
         for k in range(n):

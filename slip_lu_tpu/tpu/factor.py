@@ -11,9 +11,13 @@ elimination) over a dense limb tensor with masks:
 This computes the *identical* integers as the reference's left-looking
 formulation — IPGE values are basis-independent minors — so L, U, and rhos
 match the host oracle bit-for-bit (asserted in tests/test_tpu_factor.py).
-Pivot search, row swaps, and the update are all on device; one fori_loop
-step per column, everything static-shaped, divisions by the shared rho_{k-1}
-via a per-step Jebelean reciprocal.
+
+Per elimination step everything is a handful of large contractions
+(ops/matarith.py): rho×M and the pivot outer product are Toeplitz-matmul
+digit convolutions, the exact division is one truncated multiply by
+rho_{k-1}'s Hensel inverse (computed once per step), and the pivot search
+is a vectorized log-depth tournament. No per-limb scans anywhere in the
+hot loop.
 
 After the loop the working tensor *is* the packed factorization:
   upper triangle + diagonal = U rows frozen at their pivot level,
@@ -33,7 +37,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..ops import arith
+from ..ops import matarith as mt
+from ..ops.arith import _pad_to
 from ..options import Pivot
 
 
@@ -43,6 +48,38 @@ def _swap_rows(t: jnp.ndarray, k: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     rp = lax.dynamic_index_in_dim(t, p, axis=0, keepdims=False)
     t = lax.dynamic_update_index_in_dim(t, rk, p, axis=0)
     return lax.dynamic_update_index_in_dim(t, rp, k, axis=0)
+
+
+def _tournament(cm: jnp.ndarray, eligible: jnp.ndarray, rowidx: jnp.ndarray,
+                minimize: bool) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """argext over eligible rows of (magnitude, original row) lexicographic.
+
+    Log-depth pairwise reduction — the vectorized replacement for the
+    reference's sequential pivot scan (slip_get_smallest/largest_pivot.c).
+    Returns (best_mag, best_position, any_eligible).
+    """
+    n, W = cm.shape
+    m = 1 << max(1, (n - 1)).bit_length()
+    pad = m - n
+    mags = jnp.pad(cm, ((0, pad), (0, 0)))
+    elig = jnp.pad(eligible, (0, pad))
+    rows = jnp.pad(rowidx, (0, pad), constant_values=2 ** 30)
+    pos = jnp.pad(jnp.arange(n, dtype=jnp.int32), (0, pad))
+    while m > 1:
+        h = m // 2
+        ma_, mb_ = mags[:h], mags[h:]
+        ea, eb = elig[:h], elig[h:]
+        ra, rb = rows[:h], rows[h:]
+        pa, pb = pos[:h], pos[h:]
+        c = mt.mag_cmp_vec(mb_, ma_)
+        better = (c < 0) if minimize else (c > 0)
+        take_b = eb & ((~ea) | better | ((c == 0) & (rb < ra)))
+        mags = jnp.where(take_b[:, None], mb_, ma_)
+        elig = ea | eb
+        rows = jnp.where(take_b, rb, ra)
+        pos = jnp.where(take_b, pb, pa)
+        m = h
+    return mags[0], pos[0], elig[0]
 
 
 def _select_pivot(cs: jnp.ndarray, cm: jnp.ndarray, eligible: jnp.ndarray,
@@ -60,26 +97,6 @@ def _select_pivot(cs: jnp.ndarray, cm: jnp.ndarray, eligible: jnp.ndarray,
     """
     n, W = cm.shape
 
-    def scan_ext(minimize: bool):
-        # sequential tournament over rows: lexicographic (magnitude, rowidx)
-        def step(state, inp):
-            bm, bpos, brow, has = state
-            mag_i, elig_i, pos_i, row_i = inp
-            c = arith.mag_cmp(mag_i, bm)
-            better_mag = (c < 0) if minimize else (c > 0)
-            better = elig_i & ((~has) | better_mag | ((c == 0) & (row_i < brow)))
-            bm = jnp.where(better, mag_i, bm)
-            bpos = jnp.where(better, pos_i, bpos)
-            brow = jnp.where(better, row_i, brow)
-            return (bm, bpos, brow, has | elig_i), None
-
-        init = (jnp.zeros(W, jnp.int32), jnp.int32(0), jnp.int32(2 ** 30),
-                jnp.bool_(False))
-        (bm, bpos, brow, has), _ = lax.scan(
-            step, init,
-            (cm, eligible, jnp.arange(n, dtype=jnp.int32), rowidx))
-        return bm, bpos, has
-
     def first_nonzero():
         big = jnp.int32(2 ** 30)
         keyed = jnp.where(eligible, rowidx, big)
@@ -96,29 +113,36 @@ def _select_pivot(cs: jnp.ndarray, cm: jnp.ndarray, eligible: jnp.ndarray,
     if scheme == Pivot.FIRST_NONZERO:
         return first_nonzero()
     if scheme == Pivot.SMALLEST:
-        _, pos, has = scan_ext(minimize=True)
+        _, pos, has = _tournament(cm, eligible, rowidx, minimize=True)
         return pos, has
     if scheme == Pivot.LARGEST:
-        _, pos, has = scan_ext(minimize=False)
+        _, pos, has = _tournament(cm, eligible, rowidx, minimize=False)
         return pos, has
     if scheme == Pivot.DIAGONAL:
-        _, pos, has = scan_ext(minimize=True)
+        _, pos, has = _tournament(cm, eligible, rowidx, minimize=True)
         return jnp.where(has_diag, diag_pos, pos), has
     if scheme == Pivot.TOL_SMALLEST:
-        bm, pos, has = scan_ext(minimize=True)
+        bm, pos, has = _tournament(cm, eligible, rowidx, minimize=True)
         # use diagonal if |diag| * tol <= |smallest|  (tol = num / 2**shift)
-        lhs, _ = arith.mag_mul(diag_mag, tol_num_mag, W + tol_num_mag.shape[-1])
-        rhs = arith.mag_shl_bits_static(bm, tol_shift)
-        use_diag = has_diag & (arith.mag_cmp(lhs, rhs) <= 0)
+        lhs, _ = mt.mul_shared(diag_mag[None, :], tol_num_mag,
+                               W + tol_num_mag.shape[-1])
+        rhs = _shl_static(bm, tol_shift)
+        use_diag = has_diag & (mt.mag_cmp_vec(lhs[0], rhs) <= 0)
         return jnp.where(use_diag, diag_pos, pos), has
     if scheme == Pivot.TOL_LARGEST:
-        bm, pos, has = scan_ext(minimize=False)
+        bm, pos, has = _tournament(cm, eligible, rowidx, minimize=False)
         # use diagonal if |diag| >= |largest| * tol
-        lhs = arith.mag_shl_bits_static(diag_mag, tol_shift)
-        rhs, _ = arith.mag_mul(bm, tol_num_mag, W + tol_num_mag.shape[-1])
-        use_diag = has_diag & (arith.mag_cmp(lhs, rhs) >= 0)
+        lhs = _shl_static(diag_mag, tol_shift)
+        rhs, _ = mt.mul_shared(bm[None, :], tol_num_mag,
+                               W + tol_num_mag.shape[-1])
+        use_diag = has_diag & (mt.mag_cmp_vec(lhs, rhs[0]) >= 0)
         return jnp.where(use_diag, diag_pos, pos), has
     raise ValueError(f"unknown pivot scheme {scheme}")
+
+
+def _shl_static(a: jnp.ndarray, nbits: int) -> jnp.ndarray:
+    from ..ops.arith import mag_shl_bits_static
+    return mag_shl_bits_static(a, nbits)
 
 
 @functools.partial(jax.jit, static_argnames=("scheme", "tol_shift"))
@@ -157,21 +181,20 @@ def factor_dense_limbs(S: jnp.ndarray, M: jnp.ndarray, qcols: jnp.ndarray,
         rho_m = M[k, k]
         # degenerate-safe divisor (flag already set if singular)
         rho_m_safe = jnp.where(jnp.all(rho_m == 0), one_mag, rho_m)
-        # --- IPGE rank-1-style update of the trailing submatrix
+        # --- IPGE rank-1-style update of the trailing submatrix:
+        #     three contractions + one subtract, no per-limb scans
         mask = ((rows > k)[:, None]) & ((rows > k)[None, :])     # [n, n]
         piv_row_s, piv_row_m = S[k, :], M[k, :, :]               # [n], [n, W]
         piv_col_s, piv_col_m = S[:, k], M[:, k, :]               # [n], [n, W]
-        p1s, p1m, o1 = arith.signed_mul(rho_s, rho_m_safe[None, None, :],
-                                        S, M, W2)
-        p2s, p2m, o2 = arith.signed_mul(piv_col_s[:, None], piv_col_m[:, None, :],
-                                        piv_row_s[None, :], piv_row_m[None, :, :],
-                                        W2)
-        ds, dm, o3 = arith.signed_sub(p1s, p1m, p2s, p2m, W2)
-        d_odd, inv0, tz = arith.div_precompute(rp_mag)
-        qs, qm, bad = arith.signed_divexact(ds, dm, rp_sign, d_odd, inv0, tz, W)
+        p1s, p1m, _ = mt.signed_mul_shared(S, M, rho_s, rho_m_safe, W2)
+        p2s, p2m, _ = mt.signed_mul_outer(piv_col_s, piv_col_m,
+                                          piv_row_s, piv_row_m, W2)
+        ds, dm, _ = mt.signed_sub_vec(p1s, p1m, p2s, p2m, W2)
+        inv, tz = mt.div_precompute_hensel(rp_mag, W2)
+        qs, qm, bad = mt.signed_divexact_shared(ds, dm, rp_sign, inv, tz, W)
         S = jnp.where(mask, qs, S)
         M = jnp.where(mask[..., None], qm, M)
-        overflow = overflow | jnp.any(mask & (bad | o1 | o2 | o3))
+        overflow = overflow | jnp.any(mask & bad)
         return (S, M, rowidx, rho_s, rho_m_safe, singular, overflow)
 
     init = (S, M, rows, jnp.int32(1), one_mag,

@@ -6,6 +6,10 @@ HOT LOOP #2), slip_matrix_mul.c (scale by rho_{n-1}), slip_back_sub.c
 no history vector needed because every row is touched at every step; the
 resulting integers equal the reference's left-looking values exactly.
 
+Per step everything is shared-operand Toeplitz-matmul arithmetic
+(ops/matarith.py): rho×X, the L-column × X-row outer product, and exact
+division by rho via its per-step Hensel inverse.
+
 Inputs come from tpu.factor.factor_dense_limbs: the packed LU tensor
 (FS, FM) whose diagonal is rhos, strict lower is L, upper is U.
 """
@@ -19,7 +23,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..ops import arith
+from ..ops import matarith as mt
 
 
 @jax.jit
@@ -46,17 +50,15 @@ def solve_dense_limbs(FS: jnp.ndarray, FM: jnp.ndarray,
         rho_m_safe = jnp.where(jnp.all(rho_m == 0), one_mag, rho_m)
         vk_s, vk_m = VS[k], VM[k]                     # [nrhs], [nrhs, Ws]
         l_s, l_m = FS[:, k], FM[:, k]                 # [n], [n, W]
-        p1s, p1m, o1 = arith.signed_mul(rho_s, rho_m_safe[None, None, :],
-                                        VS, VM, Wp)
-        p2s, p2m, o2 = arith.signed_mul(l_s[:, None], l_m[:, None, :],
-                                        vk_s[None, :], vk_m[None, :, :], Wp)
-        ds, dm, o3 = arith.signed_sub(p1s, p1m, p2s, p2m, Wp)
-        d_odd, inv0, tz = arith.div_precompute(rp_m)
-        qs, qm, bad = arith.signed_divexact(ds, dm, rp_s, d_odd, inv0, tz, Ws)
+        p1s, p1m, _ = mt.signed_mul_shared(VS, VM, rho_s, rho_m_safe, Wp)
+        p2s, p2m, _ = mt.signed_mul_outer(l_s, l_m, vk_s, vk_m, Wp)
+        ds, dm, _ = mt.signed_sub_vec(p1s, p1m, p2s, p2m, Wp)
+        inv, tz = mt.div_precompute_hensel(rp_m, Wp)
+        qs, qm, bad = mt.signed_divexact_shared(ds, dm, rp_s, inv, tz, Ws)
         mask = (rows > k)[:, None]                    # [n, 1] over rhs
         VS = jnp.where(mask, qs, VS)
         VM = jnp.where(mask[..., None], qm, VM)
-        ovf = ovf | jnp.any(mask & (bad | o1 | o2 | o3))
+        ovf = ovf | jnp.any(mask & bad)
         return (VS, VM, rho_s, rho_m_safe, ovf)
 
     state = (VS, VM, jnp.int32(1), one_mag, jnp.bool_(False))
@@ -64,7 +66,7 @@ def solve_dense_limbs(FS: jnp.ndarray, FM: jnp.ndarray,
 
     # ---- scale by the determinant rho_{n-1} ----
     det_s, det_m = FS[n - 1, n - 1], FM[n - 1, n - 1]
-    VS, VM, o_det = arith.signed_mul(VS, VM, det_s, det_m[None, None, :], Ws)
+    VS, VM, o_det = mt.signed_mul_shared(VS, VM, det_s, det_m, Ws)
     ovf = ovf | jnp.any(o_det)
 
     # ---- back substitution ----
@@ -73,15 +75,14 @@ def solve_dense_limbs(FS: jnp.ndarray, FM: jnp.ndarray,
         j = n - 1 - t
         rho_s, rho_m = FS[j, j], FM[j, j]
         rho_m_safe = jnp.where(jnp.all(rho_m == 0), one_mag, rho_m)
-        d_odd, inv0, tz = arith.div_precompute(rho_m_safe)
-        xj_s, xj_m, bad = arith.signed_divexact(VS[j], VM[j], rho_s,
-                                                d_odd, inv0, tz, Ws)
+        inv, tz = mt.div_precompute_hensel(rho_m_safe, Ws)
+        xj_s, xj_m, bad = mt.signed_divexact_shared(VS[j], VM[j], rho_s,
+                                                    inv, tz, Ws)
         VS = VS.at[j].set(xj_s)
         VM = VM.at[j].set(xj_m)
         u_s, u_m = FS[:, j], FM[:, j]                 # [n], [n, W]
-        ps, pm, o1 = arith.signed_mul(u_s[:, None], u_m[:, None, :],
-                                      xj_s[None, :], xj_m[None, :, :], Ws)
-        ns, nm, o2 = arith.signed_sub(VS, VM, ps, pm, Ws)
+        ps, pm, o1 = mt.signed_mul_outer(u_s, u_m, xj_s, xj_m, Ws)
+        ns, nm, o2 = mt.signed_sub_vec(VS, VM, ps, pm, Ws)
         mask = (rows < j)[:, None]
         VS = jnp.where(mask, ns, VS)
         VM = jnp.where(mask[..., None], nm, VM)
