@@ -25,6 +25,14 @@ def main() -> None:
     sys.path.insert(0, here)
     os.chdir(here)
 
+    if os.environ.get("JAX_PLATFORMS"):
+        # sitecustomize pins the axon TPU; honor an explicit override so
+        # the bench can run on CPU in CI
+        import jax
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    backend = os.environ.get("SLIP_BENCH_BACKEND", "tpu-sparse")
+
     from slip_lu_tpu.analyze import analyze
     from slip_lu_tpu.backslash import backslash
     from slip_lu_tpu.convert import matrix_copy
@@ -32,6 +40,7 @@ def main() -> None:
     from slip_lu_tpu.matrix import Kind, Type
     from slip_lu_tpu.options import Options
     from slip_lu_tpu.solve import check_solution
+    from slip_lu_tpu.tpu.backslash_sparse import factorize_solve_tpu_sparse
     from slip_lu_tpu.tpu.backslash_tpu import factorize_solve_tpu
 
     A = matrix_copy(read_triplet(mat), Kind.CSC, Type.MPZ)
@@ -39,6 +48,8 @@ def main() -> None:
     nnz = int(A.p[A.n])
     opts = Options()
     ana = analyze(A, opts)
+    run_dev = (factorize_solve_tpu_sparse if backend == "tpu-sparse"
+               else factorize_solve_tpu)
 
     # --- baseline: host oracle (the reference algorithm, Python ints) ---
     t0 = time.perf_counter()
@@ -47,12 +58,12 @@ def main() -> None:
     check_solution(A, x_host, b)
 
     # --- device path: warm up (compile), then time ---
-    x_dev = factorize_solve_tpu(A, ana, b, opts)  # compile + run
+    x_dev = run_dev(A, ana, b, opts)  # compile + run
     check_solution(A, x_dev, b)
     reps = int(os.environ.get("SLIP_BENCH_REPS", "3"))
     t0 = time.perf_counter()
     for _ in range(reps):
-        x_dev = factorize_solve_tpu(A, ana, b, opts)
+        x_dev = run_dev(A, ana, b, opts)
     dev_s = (time.perf_counter() - t0) / reps
 
     for i in range(A.n):

@@ -30,8 +30,16 @@ def backslash(A: SlipMatrix, b: SlipMatrix, out_type: Type = Type.MPQ,
       FP64 — rounded to double,
       MPZ/INT64 — valid only if the exact solution is integral.
 
-    backend: "host" (Python-int oracle) or "tpu" (fixed-width limb device
-    path; see slip_lu_tpu.tpu). Both produce bit-identical rationals.
+    backend:
+      "host"       — Python-int oracle (the reference algorithm),
+      "tpu"        — dense-with-masking device kernel, full pivoting
+                     faithful to options.pivot,
+      "tpu-sparse" — static-schedule sparse device kernel (transversal +
+                     diagonal pivot sequence fixed symbolically;
+                     nnz-proportional work, falls back to "tpu" on exact
+                     pivot cancellation).
+    All backends produce bit-identical rationals (the exact solution is
+    unique; only internal pivot sequences differ).
     """
     options = options or Options()
     options.validate()
@@ -40,6 +48,9 @@ def backslash(A: SlipMatrix, b: SlipMatrix, out_type: Type = Type.MPQ,
     if backend == "tpu":
         from .tpu.backslash_tpu import factorize_solve_tpu
         x_mpq = factorize_solve_tpu(A2, analysis, b, options)
+    elif backend == "tpu-sparse":
+        from .tpu.backslash_sparse import factorize_solve_tpu_sparse
+        x_mpq = factorize_solve_tpu_sparse(A2, analysis, b, options)
     else:
         F = factorize(A2, analysis, options)
         x_mpq = solve(F, b, options)

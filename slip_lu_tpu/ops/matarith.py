@@ -269,3 +269,60 @@ def signed_divexact_shared(s_num, m_num, s_den, inv, tz, out_w: int):
     sign = s_num * s_den
     sign = jnp.where(jnp.all(q == 0, axis=-1), 0, sign)
     return sign, q, bad
+
+
+# ---------------------------------------------------------------------------
+# pairwise multiplication (per-entry operands) as grouped convolution
+# ---------------------------------------------------------------------------
+
+def _pairwise_conv(da: jnp.ndarray, db: jnp.ndarray) -> jnp.ndarray:
+    """Full digit convolution per entry: [E, La] x [E, Lb] -> [E, La+Lb-1].
+
+    Grouped 1-D convolution (feature_group_count = E): each entry's digits
+    convolve with its own counterpart — E independent small convolutions in
+    one XLA op, used for history updates where every entry has a different
+    divisor inverse (gathered from the per-step rho-inverse table).
+    """
+    e, la = da.shape
+    lb = db.shape[-1]
+    out = lax.conv_general_dilated(
+        da[None, :, :], db[:, None, ::-1],
+        window_strides=(1,), padding=[(lb - 1, lb - 1)],
+        feature_group_count=e,
+        dimension_numbers=("NCH", "OIH", "NCH"))
+    return out[0]
+
+
+def mul_pairwise(a: jnp.ndarray, b: jnp.ndarray, out_w: int
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """|a[e]| * |b[e]| per entry -> (mag [E, out_w], overflow flag [E])."""
+    acc = _pairwise_conv(_to_digits(a), _to_digits(b))
+    acc = jnp.pad(acc, ((0, 0), (0, 1)))   # even digit count
+    digs, _ = normalize(acc, 8)
+    return truncate_mag(_from_digits(digs), out_w)
+
+
+def mul_pairwise_mod(a: jnp.ndarray, b: jnp.ndarray, out_w: int
+                     ) -> jnp.ndarray:
+    """(|a[e]| * |b[e]|) mod 2**(16*out_w) per entry."""
+    acc = _pairwise_conv(_to_digits(a), _to_digits(b))
+    d = 2 * out_w
+    if acc.shape[-1] >= d:
+        acc = acc[..., :d]
+    else:
+        acc = jnp.pad(acc, ((0, 0), (0, d - acc.shape[-1])))
+    digs, _ = normalize(acc, 8)
+    return _from_digits(digs)
+
+
+def divexact_gathered(a: jnp.ndarray, inv: jnp.ndarray, tz: jnp.ndarray,
+                      out_w: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact |a[e]| / |d[e]| with per-entry Hensel inverses.
+
+    inv [E, check_w]: odd(d[e])^-1 mod 2**(16*check_w) (gathered from the
+    per-step inverse table); tz [E]: trailing zero bits of each d[e].
+    Same contract as divexact_shared, pairwise.
+    """
+    r = mag_shr_bits(a, tz)
+    q_full = mul_pairwise_mod(r, inv, inv.shape[-1])
+    return truncate_mag(q_full, out_w)

@@ -1,0 +1,209 @@
+"""Scheduled sparse REF LU + substitution on device (nnz-proportional).
+
+The sparse twin of tpu/factor.py + tpu/solve.py: instead of masked dense
+updates (O(n^3) regardless of fill), a lax.scan walks the static schedule
+emitted by tpu/schedule.py — per elimination step it gathers exactly the
+pivot column, pivot row, and update tile of the *symbolic fill pattern*,
+so total work is proportional to the true IPGE operation count, like the
+reference's left-looking loop (reference: SLIP_LU_factorize.c +
+slip_ref_triangular_solve.c, whose reach/history machinery this schedule
+precomputes statically).
+
+History updates (the reference's h[] vector) divide by rho_h with h
+varying per entry: each step's pivot inverse is appended to an on-device
+Hensel-inverse table, and history fixes gather their divisor's inverse
+from it (ops/matarith.py pairwise ops). The IPGE division by rho_{k-1} is
+shared across the tile (Toeplitz matmul).
+
+Everything — factorization, forward substitution, determinant scaling,
+back substitution — is one jitted program: one dispatch, one transfer.
+Exact-cancellation pivots and limb overflow come back as flags; the
+driver falls back to the dense full-pivoting kernel / widens W.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops import matarith as mt
+
+
+def _signed_fix(vS, vM, rp_s, rp_m, inv_h, tz_h, s_h, out_w):
+    """History fix v <- v * rho_prev / rho_h (per-entry divisors)."""
+    num, _ = mt.mul_shared(vM, rp_m, vM.shape[-1] + rp_m.shape[-1])
+    fixM, bad = mt.divexact_gathered(num, inv_h, tz_h, out_w)
+    fixS = vS * rp_s * s_h
+    fixS = jnp.where(jnp.all(fixM == 0, axis=-1), 0, fixS)
+    return fixS, fixM, bad
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def factor_solve_sparse(n: int,
+                        valS: jnp.ndarray, valM: jnp.ndarray,
+                        XS: jnp.ndarray, XM: jnp.ndarray,
+                        col_pos, col_hist, row_pos, row_hist,
+                        diag_pos, diag_hist, tile_pos, tile_hist,
+                        fwd_hist, fwd_xk_hist, bwd_pos, bwd_row,
+                        row_of):
+    """Run the full static schedule. See tpu/schedule.py for the layout.
+
+    valS/valM: [E+1(, W)] value slots (A scattered in, fill zero, slot E
+    dummy). XS/XM: [n+1, nrhs(, Ws)] RHS with dummy row n.
+    Returns (valS, valM, XS, XM, rhoS, rhoM, singular, overflow).
+    """
+    E = valS.shape[0] - 1
+    W = valM.shape[-1]
+    Ws = XM.shape[-1]
+    W2 = 2 * W + 1
+    Wi = max(W2, Ws)          # inverse-table width (serves factor + solve)
+    nrhs = XS.shape[-1]
+
+    one_w = jnp.zeros(W, jnp.int32).at[0].set(1)
+    # rho/inverse tables; index h+1 holds rho_h (index 0: rho_{-1} = 1)
+    signT0 = jnp.zeros(n + 1, jnp.int32).at[0].set(1)
+    magT0 = jnp.zeros((n + 1, W), jnp.int32).at[0, 0].set(1)
+    invT0 = jnp.zeros((n + 1, Wi), jnp.int32).at[0, 0].set(1)
+    tzT0 = jnp.zeros(n + 1, jnp.int32)
+
+    # ------------------------- factorization scan -------------------------
+    def fstep(carry, xs):
+        (valS, valM, rp_s, rp_m, inv_p, tz_p, signT, magT, invT, tzT,
+         k, sing, ovf) = carry
+        (cpos, chist, rpos, rhist, dpos, dhist, tpos, thist) = xs
+        R = cpos.shape[0]
+        # --- gather + history-fix diag, pivot column, pivot row
+        allpos = jnp.concatenate([dpos[None], cpos, rpos])
+        allhist = jnp.concatenate([dhist[None], chist, rhist])
+        vS = valS[allpos]
+        vM = valM[allpos]
+        fixS, fixM, bad1 = _signed_fix(vS, vM, rp_s, rp_m,
+                                       invT[allhist], tzT[allhist],
+                                       signT[allhist], W)
+        valS = valS.at[allpos].set(fixS)
+        valM = valM.at[allpos].set(fixM)
+        rho_s, rho_m = fixS[0], fixM[0]
+        sing = sing | (rho_s == 0)
+        rho_m_safe = jnp.where(jnp.all(rho_m == 0), one_w, rho_m)
+        inv_k, tz_k = mt.div_precompute_hensel(rho_m_safe, Wi)
+        signT = signT.at[k + 1].set(jnp.where(rho_s == 0, 1, rho_s))
+        magT = magT.at[k + 1].set(rho_m_safe)
+        invT = invT.at[k + 1].set(inv_k)
+        tzT = tzT.at[k + 1].set(tz_k)
+        # --- history-fix the update tile, then IPGE update
+        tposf = tpos.reshape(-1)
+        thistf = thist.reshape(-1)
+        tS = valS[tposf]
+        tM = valM[tposf]
+        t_fixS, t_fixM, bad2 = _signed_fix(tS, tM, rp_s, rp_m,
+                                           invT[thistf], tzT[thistf],
+                                           signT[thistf], W)
+        colS, colM = fixS[1:1 + R], fixM[1:1 + R]
+        rowS, rowM = fixS[1 + R:], fixM[1 + R:]
+        p1s, p1m, _ = mt.signed_mul_shared(
+            t_fixS.reshape(tpos.shape), t_fixM.reshape(tpos.shape + (W,)),
+            rho_s, rho_m_safe, W2)
+        p2s, p2m, _ = mt.signed_mul_outer(colS, colM, rowS, rowM, W2)
+        ds, dm, _ = mt.signed_sub_vec(p1s, p1m, p2s, p2m, W2)
+        qs, qm, bad3 = mt.signed_divexact_shared(
+            ds, dm, rp_s, inv_p[..., :W2], tz_p, W)
+        valS = valS.at[tposf].set(qs.reshape(-1))
+        valM = valM.at[tposf].set(qm.reshape(-1, W))
+        # pads all target the dummy slot; keep it zero
+        valS = valS.at[E].set(0)
+        valM = valM.at[E].set(jnp.zeros(W, jnp.int32))
+        ovf = ovf | jnp.any(bad1) | jnp.any(bad2) | jnp.any(bad3)
+        return (valS, valM, rho_s, rho_m_safe, inv_k, tz_k,
+                signT, magT, invT, tzT, k + 1, sing, ovf), None
+
+    carry0 = (valS, valM, jnp.int32(1), one_w,
+              invT0[0], jnp.int32(0), signT0, magT0, invT0, tzT0,
+              jnp.int32(0), jnp.bool_(False), jnp.bool_(False))
+    carry, _ = lax.scan(
+        fstep, carry0,
+        (col_pos, col_hist, row_pos, row_hist, diag_pos, diag_hist,
+         tile_pos, tile_hist))
+    (valS, valM, _, _, _, _, signT, magT, invT, tzT, _, sing, ovf) = carry
+
+    # --------------------- forward substitution scan ----------------------
+    def sstep(carry, xs):
+        XS, XM, k, ovf = carry
+        (cpos, fhist, dpos_k, xk_hist) = xs
+        rp_s, rp_m = signT[k], magT[k]              # rho_{k-1}
+        rho_s, rho_m = signT[k + 1], magT[k + 1]    # rho_k
+        # history-fix x[k]
+        xkS, xkM = XS[k], XM[k]                     # [nrhs](, Ws)
+        inv_h = jnp.broadcast_to(invT[xk_hist], (nrhs, Wi))
+        tz_h = jnp.broadcast_to(tzT[xk_hist], (nrhs,))
+        s_h = jnp.broadcast_to(signT[xk_hist], (nrhs,))
+        xk_fS, xk_fM, b1 = _signed_fix(xkS, xkM, rp_s, rp_m,
+                                       inv_h, tz_h, s_h, Ws)
+        XS = XS.at[k].set(xk_fS)
+        XM = XM.at[k].set(xk_fM)
+        # history-fix the touched RHS rows
+        rows = row_of[cpos]                         # [R] (pads -> n)
+        riS = XS[rows]
+        riM = XM[rows]
+        flat_inv = invT[fhist]
+        ri_fS, ri_fM, b2 = _signed_fix(
+            riS.reshape(-1), riM.reshape(-1, Ws), rp_s, rp_m,
+            jnp.repeat(flat_inv, nrhs, axis=0),
+            jnp.repeat(tzT[fhist], nrhs), jnp.repeat(signT[fhist], nrhs), Ws)
+        ri_fS = ri_fS.reshape(riS.shape)
+        ri_fM = ri_fM.reshape(riM.shape)
+        # IPGE: x[i] <- (rho_k * x[i] - L(i,k) * x[k]) / rho_{k-1}
+        lS, lM = valS[cpos], valM[cpos]             # [R](, W)
+        p1s, p1m, _ = mt.signed_mul_shared(ri_fS, ri_fM, rho_s, rho_m,
+                                           W + Ws + 1)
+        p2s, p2m, _ = mt.signed_mul_outer(lS, lM, xk_fS, xk_fM, W + Ws + 1)
+        ds, dm, _ = mt.signed_sub_vec(p1s, p1m, p2s, p2m, W + Ws + 1)
+        qs, qm, bad = mt.signed_divexact_shared(ds, dm, rp_s, invT[k],
+                                                tzT[k], Ws)
+        XS = XS.at[rows].set(qs)
+        XM = XM.at[rows].set(qm)
+        XS = XS.at[n].set(jnp.zeros(nrhs, jnp.int32))
+        XM = XM.at[n].set(jnp.zeros((nrhs, Ws), jnp.int32))
+        ovf = ovf | jnp.any(b1) | jnp.any(b2) | jnp.any(bad)
+        return (XS, XM, k + 1, ovf), None
+
+    carry, _ = lax.scan(sstep, (XS, XM, jnp.int32(0), ovf),
+                        (col_pos, fwd_hist, diag_pos, fwd_xk_hist))
+    XS, XM, _, ovf = carry
+
+    # --------------------- scale by det = rho_{n-1} -----------------------
+    XS, XM, o_det = mt.signed_mul_shared(XS, XM, signT[n], magT[n], Ws)
+    ovf = ovf | jnp.any(o_det[:n])
+
+    # ----------------------- back substitution scan -----------------------
+    def bstep(carry, xs):
+        XS, XM, t, ovf = carry
+        (upos, urow) = xs
+        j = n - 1 - t
+        # x[j] <- x[j] / rho_j (exact)
+        inv_j = jnp.broadcast_to(invT[j + 1], (nrhs, Wi))
+        tz_j = jnp.broadcast_to(tzT[j + 1], (nrhs,))
+        qM, bad = mt.divexact_gathered(XM[j], inv_j, tz_j, Ws)
+        qS = XS[j] * signT[j + 1]
+        qS = jnp.where(jnp.all(qM == 0, axis=-1), 0, qS)
+        XS = XS.at[j].set(qS)
+        XM = XM.at[j].set(qM)
+        # x[i] -= U(i,j) * x[j] for the above-diagonal slots of column j
+        uS, uM = valS[upos], valM[upos]             # [Umax](, W)
+        pS, pM, o1 = mt.signed_mul_outer(uS, uM, qS, qM, Ws)
+        riS, riM = XS[urow], XM[urow]
+        nS, nM, o2 = mt.signed_sub_vec(riS, riM, pS, pM, Ws)
+        XS = XS.at[urow].set(nS)
+        XM = XM.at[urow].set(nM)
+        XS = XS.at[n].set(jnp.zeros(nrhs, jnp.int32))
+        XM = XM.at[n].set(jnp.zeros((nrhs, Ws), jnp.int32))
+        ovf = ovf | jnp.any(bad) | jnp.any(o1) | jnp.any(o2)
+        return (XS, XM, t + 1, ovf), None
+
+    carry, _ = lax.scan(bstep, (XS, XM, jnp.int32(0), ovf),
+                        (bwd_pos[::-1], bwd_row[::-1]))
+    XS, XM, _, ovf = carry
+    return valS, valM, XS, XM, signT[1:], magT[1:], sing, ovf
