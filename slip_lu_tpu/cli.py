@@ -42,7 +42,8 @@ def make_parser() -> argparse.ArgumentParser:
                    default="mpq", help="solution output type")
     p.add_argument("--prec", type=int, default=128,
                    help="bits of precision for --out-type mpfr")
-    p.add_argument("--backend", choices=["host", "tpu", "sharded"],
+    p.add_argument("--backend",
+                   choices=["host", "tpu", "tpu-sparse", "sharded"],
                    default="host", help="execution backend")
     p.add_argument("--check", action="store_true",
                    help="verify A x == b exactly in rational arithmetic")

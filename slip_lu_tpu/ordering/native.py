@@ -23,12 +23,27 @@ _LIB: Optional[ctypes.CDLL] = None
 _LIB_TRIED = False
 
 
+def _build_if_missing(native_dir: str) -> None:
+    """Compile the library from source on first use (g++ is in the image)."""
+    so = os.path.join(native_dir, "libslip_symbolic.so")
+    mk = os.path.join(native_dir, "Makefile")
+    if os.path.exists(so) or not os.path.exists(mk):
+        return
+    import subprocess
+    try:
+        subprocess.run(["make", "-C", native_dir], check=False,
+                       capture_output=True, timeout=120)
+    except (OSError, subprocess.TimeoutExpired):
+        pass
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _LIB, _LIB_TRIED
     if _LIB_TRIED:
         return _LIB
     _LIB_TRIED = True
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    _build_if_missing(os.path.join(here, "native"))
     for cand in (
         os.path.join(here, "native", "libslip_symbolic.so"),
         os.path.join(os.path.dirname(__file__), "libslip_symbolic.so"),

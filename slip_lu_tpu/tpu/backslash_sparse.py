@@ -30,7 +30,8 @@ from ..options import Options
 from ..ops.limbs import limbs_to_ints, matrix_to_limbs
 from .bounds import factor_width, solve_width
 from .factor_sparse import factor_solve_sparse
-from .schedule import SparseSchedule, _permute_cols, build_schedule
+from .schedule import SparseSchedule, _permute_cols
+from .schedule_native import build_schedule_best
 
 _MAX_RETRIES = 3
 
@@ -52,7 +53,7 @@ def factorize_solve_tpu_sparse(A: SlipMatrix, analysis: Analysis,
     if n == 0:
         return SlipMatrix.allocate(Kind.DENSE, Type.MPQ, 0, nrhs)
     q = np.asarray(analysis.q, dtype=np.int64)
-    sched, r = build_schedule(A, q)          # raises if structurally singular
+    sched, r = build_schedule_best(A, q)     # raises if structurally singular
     Aq = _permute_cols(A, q)
     avals = [int(Aq.x[idx]) for c in range(n)
              for idx in range(int(Aq.p[c]), int(Aq.p[c + 1]))]
