@@ -29,9 +29,23 @@ from ..matrix import Kind, SlipMatrix, Type
 from ..options import Options
 from ..ops.limbs import limbs_to_ints, matrix_to_limbs
 from .bounds import factor_width, solve_width
-from .factor_sparse import factor_solve_sparse
+from .factor_sparse import factor_solve_sparse_packed, unpack_sparse_result
 from .schedule import SparseSchedule, _permute_cols
 from .schedule_native import build_schedule_best
+
+
+def pack_schedule(sched: SparseSchedule, n: int) -> np.ndarray:
+    """Concatenate every schedule array into one int32 buffer (the layout
+    factor_solve_sparse_packed unpacks). Reusable across solves/retries."""
+    return np.concatenate([
+        sched.col_pos.reshape(-1), sched.col_hist.reshape(-1),
+        sched.row_pos.reshape(-1), sched.row_hist.reshape(-1),
+        sched.diag_pos, sched.diag_hist,
+        sched.tile_pos.reshape(-1), sched.tile_hist.reshape(-1),
+        sched.fwd_hist.reshape(-1), sched.fwd_xk_hist,
+        sched.bwd_pos.reshape(-1), sched.bwd_row.reshape(-1),
+        np.concatenate([sched.row_of, [np.int32(n)]]),
+    ]).astype(np.int32)
 
 _MAX_RETRIES = 3
 
@@ -60,6 +74,7 @@ def factorize_solve_tpu_sparse(A: SlipMatrix, analysis: Analysis,
 
     W = factor_width(A, options.max_limbs)
     Ws = solve_width(A, bz.x, W, n, options.max_limbs)
+    sched_dev = jnp.asarray(pack_schedule(sched, n))   # one h2d, reusable
     for attempt in range(_MAX_RETRIES):
         from ..ops.limbs import ints_to_limbs
         aS, aM = ints_to_limbs(avals, W)
@@ -70,29 +85,24 @@ def factorize_solve_tpu_sparse(A: SlipMatrix, analysis: Analysis,
         xb = np.zeros((n + 1, nrhs), dtype=object)
         xb[:n] = bz.x[r, :]                  # rows of B order
         XS0, XM0 = matrix_to_limbs(xb, Ws)
-        out = factor_solve_sparse(
-            n, jnp.asarray(valS), jnp.asarray(valM),
-            jnp.asarray(XS0), jnp.asarray(XM0),
-            jnp.asarray(sched.col_pos), jnp.asarray(sched.col_hist),
-            jnp.asarray(sched.row_pos), jnp.asarray(sched.row_hist),
-            jnp.asarray(sched.diag_pos), jnp.asarray(sched.diag_hist),
-            jnp.asarray(sched.tile_pos), jnp.asarray(sched.tile_hist),
-            jnp.asarray(sched.fwd_hist), jnp.asarray(sched.fwd_xk_hist),
-            jnp.asarray(sched.bwd_pos), jnp.asarray(sched.bwd_row),
-            jnp.asarray(np.concatenate([sched.row_of,
-                                        [np.int32(n)]]).astype(np.int32)))
-        (valS_o, valM_o, XS, XM, rhoS, rhoM, sing, ovf) = jax.device_get(out)
-        if bool(sing):
+        vals_buf = np.concatenate([valS, valM.reshape(-1),
+                                   XS0.reshape(-1), XM0.reshape(-1)])
+        out = factor_solve_sparse_packed(
+            n, sched.nnz, W, Ws, nrhs, sched.rmax, sched.cmax, sched.umax,
+            jnp.asarray(vals_buf), sched_dev)
+        (XS, XM, det_s, det_m, sing, ovf) = unpack_sparse_result(
+            jax.device_get(out), n, nrhs, W, Ws)
+        if sing:
             # exact cancellation on a scheduled pivot: full pivoting may
             # still succeed — dense fallback decides singular vs not
             from .backslash_tpu import factorize_solve_tpu
             return factorize_solve_tpu(A, analysis, b, options)
-        if bool(ovf):
+        if ovf:
             W *= 2
             Ws = max(2 * Ws, 2 * W + 2)
             continue
-        det = int(limbs_to_ints(rhoS[n - 1:n], rhoM[n - 1][None, :])[0])
-        xhat = limbs_to_ints(XS[:n], XM[:n])
+        det = int(limbs_to_ints(det_s.reshape(1), det_m[None, :])[0])
+        xhat = limbs_to_ints(XS, XM)
         factor = A.scale / bz.scale
         x = SlipMatrix.allocate(Kind.DENSE, Type.MPQ, n, nrhs)
         for k in range(n):

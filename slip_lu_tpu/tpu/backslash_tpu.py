@@ -135,9 +135,10 @@ def factorize_solve_tpu(A: SlipMatrix, analysis: Analysis, b: SlipMatrix,
                                  jnp.asarray(VSn), jnp.asarray(VMn),
                                  int(options.pivot), jnp.asarray(tol_mag),
                                  tol_shift)
-        # one batched transfer for everything the host needs
+        # ONE device->host transfer for everything the host needs
+        from .fused import unpack_dense_result
         (XS, XM, det_s, det_m, rowidx, singular, f_ovf,
-         s_ovf) = jax.device_get(out)
+         s_ovf) = unpack_dense_result(jax.device_get(out), n, nrhs, W, Ws)
         if bool(singular):
             raise SlipSingularError("device factorization found no eligible pivot")
         if bool(f_ovf) or bool(s_ovf):

@@ -42,7 +42,6 @@ def _signed_fix(vS, vM, rp_s, rp_m, inv_h, tz_h, s_h, out_w):
     return fixS, fixM, bad
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
 def factor_solve_sparse(n: int,
                         valS: jnp.ndarray, valM: jnp.ndarray,
                         XS: jnp.ndarray, XM: jnp.ndarray,
@@ -206,4 +205,70 @@ def factor_solve_sparse(n: int,
     carry, _ = lax.scan(bstep, (XS, XM, jnp.int32(0), ovf),
                         (bwd_pos[::-1], bwd_row[::-1]))
     XS, XM, _, ovf = carry
-    return valS, valM, XS, XM, signT[1:], magT[1:], sing, ovf
+    # ONE flat int32 result buffer (single device->host fetch; the tunnel
+    # pays a large per-buffer latency):
+    #   [singular, overflow, det_s, det_m (W), XS (n*nrhs), XM (n*nrhs*Ws)]
+    flags = jnp.stack([sing.astype(jnp.int32), ovf.astype(jnp.int32)])
+    det_s, det_m = signT[n], magT[n]
+    return jnp.concatenate([flags, det_s[None], det_m,
+                            XS[:n].reshape(-1), XM[:n].reshape(-1)])
+
+
+def unpack_sparse_result(buf, n, nrhs, W, Ws):
+    """Split the flat result of factor_solve_sparse back into parts."""
+    singular, overflow = bool(buf[0]), bool(buf[1])
+    o = 2
+    det_s = buf[o]; o += 1
+    det_m = buf[o:o + W]; o += W
+    XS = buf[o:o + n * nrhs].reshape(n, nrhs); o += n * nrhs
+    XM = buf[o:o + n * nrhs * Ws].reshape(n, nrhs, Ws)
+    return XS, XM, det_s, det_m, singular, overflow
+
+
+# ---------------------------------------------------------------------------
+# packed-buffer entry point: two host->device transfers total
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("n", "E", "W", "Ws", "nrhs",
+                                             "rmax", "cmax", "umax"))
+def factor_solve_sparse_packed(n: int, E: int, W: int, Ws: int, nrhs: int,
+                               rmax: int, cmax: int, umax: int,
+                               vals_buf: jnp.ndarray,
+                               sched_buf: jnp.ndarray) -> jnp.ndarray:
+    """factor_solve_sparse with all inputs in two flat int32 buffers.
+
+    Every h2d transfer over the TPU tunnel pays per-buffer latency; the
+    driver concatenates the (per-solve) value data and the (per-matrix,
+    reusable) schedule into one buffer each. Layouts produced by
+    backslash_sparse.pack_values / pack_schedule; device-side unpacking is
+    free (static slices + reshapes).
+    """
+    o = 0
+
+    def take(buf, off, count, shape):
+        return buf[off:off + count].reshape(shape), off + count
+
+    valS, o = take(vals_buf, o, E + 1, (E + 1,))
+    valM, o = take(vals_buf, o, (E + 1) * W, (E + 1, W))
+    XS, o = take(vals_buf, o, (n + 1) * nrhs, (n + 1, nrhs))
+    XM, o = take(vals_buf, o, (n + 1) * nrhs * Ws, (n + 1, nrhs, Ws))
+
+    s = 0
+    col_pos, s = take(sched_buf, s, n * rmax, (n, rmax))
+    col_hist, s = take(sched_buf, s, n * rmax, (n, rmax))
+    row_pos, s = take(sched_buf, s, n * cmax, (n, cmax))
+    row_hist, s = take(sched_buf, s, n * cmax, (n, cmax))
+    diag_pos, s = take(sched_buf, s, n, (n,))
+    diag_hist, s = take(sched_buf, s, n, (n,))
+    tile_pos, s = take(sched_buf, s, n * rmax * cmax, (n, rmax, cmax))
+    tile_hist, s = take(sched_buf, s, n * rmax * cmax, (n, rmax, cmax))
+    fwd_hist, s = take(sched_buf, s, n * rmax, (n, rmax))
+    fwd_xk_hist, s = take(sched_buf, s, n, (n,))
+    bwd_pos, s = take(sched_buf, s, n * umax, (n, umax))
+    bwd_row, s = take(sched_buf, s, n * umax, (n, umax))
+    row_of, s = take(sched_buf, s, E + 1, (E + 1,))
+
+    return factor_solve_sparse(
+        n, valS, valM, XS, XM, col_pos, col_hist, row_pos, row_hist,
+        diag_pos, diag_hist, tile_pos, tile_hist, fwd_hist, fwd_xk_hist,
+        bwd_pos, bwd_row, row_of)
