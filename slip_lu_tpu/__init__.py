@@ -20,6 +20,7 @@ Public API (reference parity with Include/SLIP_LU.h):
 from .analyze import Analysis, analyze
 from .backslash import backslash
 from .bigfloat import BigFloat
+from .checkpoint import load_factorization, save_factorization
 from .convert import matrix_copy
 from .errors import (SlipError, SlipIncorrectError, SlipIncorrectInputError,
                      SlipInfo, SlipLimbOverflowError, SlipPanicError,
@@ -62,4 +63,5 @@ __all__ = [
     "read_triplet", "write_dense", "write_triplet", "Kind", "SlipMatrix",
     "Type", "Options", "Ordering", "Pivot", "RoundMode", "default_options",
     "check_solution", "solve", "initialize", "finalize",
+    "save_factorization", "load_factorization",
 ]

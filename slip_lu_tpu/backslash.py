@@ -41,6 +41,8 @@ def backslash(A: SlipMatrix, b: SlipMatrix, out_type: Type = Type.MPQ,
     All backends produce bit-identical rationals (the exact solution is
     unique; only internal pivot sequences differ).
     """
+    from .stats import SolveStats, phase_timer, record
+
     options = options or Options()
     options.validate()
     A2 = matrix_copy(A, Kind.CSC, Type.MPZ, options)  # integerize
@@ -52,8 +54,13 @@ def backslash(A: SlipMatrix, b: SlipMatrix, out_type: Type = Type.MPQ,
         from .tpu.backslash_sparse import factorize_solve_tpu_sparse
         x_mpq = factorize_solve_tpu_sparse(A2, analysis, b, options)
     else:
-        F = factorize(A2, analysis, options)
-        x_mpq = solve(F, b, options)
+        st = SolveStats(backend="host", n=A2.n, nnz=int(A2.p[A2.n]),
+                        nrhs=b.n if b.kind == Kind.DENSE else 1)
+        with phase_timer(st, "factorize"):
+            F = factorize(A2, analysis, options)
+        with phase_timer(st, "solve"):
+            x_mpq = solve(F, b, options)
+        record(st)
     if options.check:
         check_solution(A, x_mpq, b, options)
     return matrix_copy(x_mpq, Kind.DENSE, out_type, options)

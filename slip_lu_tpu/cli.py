@@ -135,6 +135,11 @@ def main(argv=None) -> int:
         print(f"read:  {t_read * 1e3:10.2f} ms")
         print(f"solve: {t_solve * 1e3:10.2f} ms"
               + ("  (includes exact check)" if args.check else ""))
+        if args.print_level >= 1:
+            from .stats import last_stats
+            st = last_stats()
+            if st is not None:
+                print(st.summary())
     if args.check:
         print("check: A x == b verified exactly")
 

@@ -149,6 +149,26 @@ def _toeplitz(shared_dig: jnp.ndarray, l_in: int, d_out: int) -> jnp.ndarray:
     return jnp.where(valid, t, 0)
 
 
+def _conv_shared_limbs(da: jnp.ndarray, ds: jnp.ndarray,
+                       d_out: int) -> jnp.ndarray:
+    """Digit conv with a shared operand -> normalized limbs [..., d_out//2].
+
+    Toeplitz matmul + carry resolution; carries past digit d_out are
+    dropped (exact when the product fits, mod 2**(8*d_out) otherwise —
+    exactly what mul_shared / mul_shared_mod need). Fused Pallas kernel
+    on TPU, XLA ops elsewhere.
+    """
+    t = _toeplitz(ds, da.shape[-1], d_out)
+    from . import pallas_kernels as _pk
+    if ds.ndim == 1 and da.shape[-1] <= _pk._MAX_K and _pk.use_pallas():
+        flat = da.reshape(-1, da.shape[-1])
+        limbs = _pk.mul_shared_digits_pallas(flat, t, d_out)
+        return limbs.reshape(da.shape[:-1] + (d_out // 2,))
+    acc = jnp.tensordot(da, t, axes=[[-1], [0]])
+    digs, _ = normalize(acc, 8)
+    return _from_digits(digs)
+
+
 def mul_shared(a: jnp.ndarray, shared: jnp.ndarray, out_w: int
                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """|a| * |shared| for a batch a [..., Wa] and one shared value [Ws].
@@ -158,12 +178,8 @@ def mul_shared(a: jnp.ndarray, shared: jnp.ndarray, out_w: int
     """
     da = _to_digits(a)
     ds = _to_digits(shared)
-    la, ls = da.shape[-1], ds.shape[-1]
-    d_out = la + ls
-    t = _toeplitz(ds, la, d_out)
-    acc = jnp.tensordot(da, t, axes=[[-1], [0]])
-    digs, _ = normalize(acc, 8)            # carry out of la+ls digits is 0
-    limbs = _from_digits(digs)
+    d_out = da.shape[-1] + ds.shape[-1]    # full width: top carry is 0
+    limbs = _conv_shared_limbs(da, ds, d_out)
     return truncate_mag(limbs, out_w)
 
 
@@ -172,11 +188,7 @@ def mul_shared_mod(a: jnp.ndarray, shared: jnp.ndarray, out_w: int
     """(|a| * |shared|) mod 2**(16*out_w): truncated digit convolution."""
     da = _to_digits(a)
     ds = _to_digits(shared)
-    d_out = 2 * out_w
-    t = _toeplitz(ds, da.shape[-1], d_out)
-    acc = jnp.tensordot(da, t, axes=[[-1], [0]])
-    digs, _ = normalize(acc, 8)            # dropped top carry == mod
-    return _from_digits(digs)
+    return _conv_shared_limbs(da, ds, 2 * out_w)
 
 
 def mul_outer(col: jnp.ndarray, row: jnp.ndarray, out_w: int

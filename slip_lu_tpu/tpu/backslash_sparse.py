@@ -28,6 +28,7 @@ from ..errors import SlipIncorrectInputError, SlipLimbOverflowError
 from ..matrix import Kind, SlipMatrix, Type
 from ..options import Options
 from ..ops.limbs import limbs_to_ints, matrix_to_limbs
+from ..stats import SolveStats, phase_timer, record
 from .bounds import factor_width, solve_width
 from .factor_sparse import factor_solve_sparse_packed, unpack_sparse_result
 from .schedule import SparseSchedule, _permute_cols
@@ -66,49 +67,58 @@ def factorize_solve_tpu_sparse(A: SlipMatrix, analysis: Analysis,
     nrhs = bz.n
     if n == 0:
         return SlipMatrix.allocate(Kind.DENSE, Type.MPQ, 0, nrhs)
+    st = SolveStats(backend="tpu-sparse", n=n, nnz=int(A.p[n]), nrhs=nrhs)
     q = np.asarray(analysis.q, dtype=np.int64)
-    sched, r = build_schedule_best(A, q)     # raises if structurally singular
-    Aq = _permute_cols(A, q)
-    avals = [int(Aq.x[idx]) for c in range(n)
-             for idx in range(int(Aq.p[c]), int(Aq.p[c + 1]))]
-
+    with phase_timer(st, "schedule"):
+        sched, r = build_schedule_best(A, q)  # raises if struct. singular
+        Aq = _permute_cols(A, q)
+        avals = [int(Aq.x[idx]) for c in range(n)
+                 for idx in range(int(Aq.p[c]), int(Aq.p[c + 1]))]
+    st.lnz, st.unz = sched.lnz, sched.unz
     W = factor_width(A, options.max_limbs)
     Ws = solve_width(A, bz.x, W, n, options.max_limbs)
     sched_dev = jnp.asarray(pack_schedule(sched, n))   # one h2d, reusable
     for attempt in range(_MAX_RETRIES):
-        from ..ops.limbs import ints_to_limbs
-        aS, aM = ints_to_limbs(avals, W)
-        valS = np.zeros(sched.nnz + 1, dtype=np.int32)
-        valM = np.zeros((sched.nnz + 1, W), dtype=np.int32)
-        valS[sched.init_pos] = aS
-        valM[sched.init_pos] = aM
-        xb = np.zeros((n + 1, nrhs), dtype=object)
-        xb[:n] = bz.x[r, :]                  # rows of B order
-        XS0, XM0 = matrix_to_limbs(xb, Ws)
-        vals_buf = np.concatenate([valS, valM.reshape(-1),
-                                   XS0.reshape(-1), XM0.reshape(-1)])
-        out = factor_solve_sparse_packed(
-            n, sched.nnz, W, Ws, nrhs, sched.rmax, sched.cmax, sched.umax,
-            jnp.asarray(vals_buf), sched_dev)
-        (XS, XM, det_s, det_m, sing, ovf) = unpack_sparse_result(
-            jax.device_get(out), n, nrhs, W, Ws)
+        st.W, st.Ws, st.retries = W, Ws, attempt
+        with phase_timer(st, "pack"):
+            from ..ops.limbs import ints_to_limbs
+            aS, aM = ints_to_limbs(avals, W)
+            valS = np.zeros(sched.nnz + 1, dtype=np.int32)
+            valM = np.zeros((sched.nnz + 1, W), dtype=np.int32)
+            valS[sched.init_pos] = aS
+            valM[sched.init_pos] = aM
+            xb = np.zeros((n + 1, nrhs), dtype=object)
+            xb[:n] = bz.x[r, :]              # rows of B order
+            XS0, XM0 = matrix_to_limbs(xb, Ws)
+            vals_buf = np.concatenate([valS, valM.reshape(-1),
+                                       XS0.reshape(-1), XM0.reshape(-1)])
+        with phase_timer(st, "device"):
+            out = factor_solve_sparse_packed(
+                n, sched.nnz, W, Ws, nrhs, sched.rmax, sched.cmax,
+                sched.umax, jnp.asarray(vals_buf), sched_dev)
+            (XS, XM, det_s, det_m, sing, ovf) = unpack_sparse_result(
+                jax.device_get(out), n, nrhs, W, Ws)
         if sing:
             # exact cancellation on a scheduled pivot: full pivoting may
             # still succeed — dense fallback decides singular vs not
+            st.fallback = True
+            record(st)
             from .backslash_tpu import factorize_solve_tpu
             return factorize_solve_tpu(A, analysis, b, options)
         if ovf:
             W *= 2
             Ws = max(2 * Ws, 2 * W + 2)
             continue
-        det = int(limbs_to_ints(det_s.reshape(1), det_m[None, :])[0])
-        xhat = limbs_to_ints(XS, XM)
-        factor = A.scale / bz.scale
-        x = SlipMatrix.allocate(Kind.DENSE, Type.MPQ, n, nrhs)
-        for k in range(n):
-            oc = int(q[k])
-            for c in range(nrhs):
-                x.x[oc, c] = Fraction(int(xhat[k, c]), det) * factor
+        with phase_timer(st, "unpack"):
+            det = int(limbs_to_ints(det_s.reshape(1), det_m[None, :])[0])
+            xhat = limbs_to_ints(XS, XM)
+            factor = A.scale / bz.scale
+            x = SlipMatrix.allocate(Kind.DENSE, Type.MPQ, n, nrhs)
+            for k in range(n):
+                oc = int(q[k])
+                for c in range(nrhs):
+                    x.x[oc, c] = Fraction(int(xhat[k, c]), det) * factor
+        record(st)
         return x
     raise SlipLimbOverflowError(
         f"sparse solve exceeded limb budget after {_MAX_RETRIES} widenings")
