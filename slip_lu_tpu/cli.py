@@ -114,13 +114,13 @@ def main(argv=None) -> int:
         if args.backend == "sharded":
             import jax
 
-            from .errors import SlipIncorrectError
             from .parallel import make_mesh
-            from .parallel.driver import factorize_solve_sharded
+            from .parallel.driver_sparse import (
+                factorize_solve_sharded_sparse)
             from .solve import check_solution
             mesh = make_mesh(jax.devices())
-            x = factorize_solve_sharded(A2, analyze(A2, options), b, mesh,
-                                        options)
+            x = factorize_solve_sharded_sparse(A2, analyze(A2, options), b,
+                                               mesh, options)
             if args.check:
                 check_solution(A, x, b, options)
             x = matrix_copy(x, Kind.DENSE, out_type, options)

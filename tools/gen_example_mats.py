@@ -111,6 +111,8 @@ def main():
     emit("rat12", rational(12, rng), rng, type_=Type.MPQ)
     emit("multirhs15", random_sparse(15, 0.3, rng), rng, nrhs=4)
     emit("wide_range", random_sparse(12, 0.5, rng, lo=-10**6, hi=10**6), rng)
+    emit("grid24", grid2d(24, rng), rng)     # n=576
+    emit("tri1000", tridiag(1000, rng), rng)
     print("done ->", OUT)
 
 
