@@ -99,7 +99,7 @@ extern "C" {
 
 void* slip_schedule_build(int64_t m, int64_t n, const int64_t* p,
                           const int64_t* i, const unsigned char* nz_mask,
-                          const int64_t* q) {
+                          const int64_t* q, const int64_t* fixed_r) {
     if (m != n || n < 0) return nullptr;
     auto* S = new Schedule();
     S->n = n;
@@ -116,7 +116,11 @@ void* slip_schedule_build(int64_t m, int64_t n, const int64_t* p,
     }
     S->nnzA = static_cast<int64_t>(entriesA.size());
     std::vector<int64_t> r;
-    if (!transversal(n, rows_of_col, r)) {
+    if (fixed_r) {
+        // pinned pivot-row sequence (cancellation repair): pivots come
+        // from a successful numeric factorization, no matching needed
+        r.assign(fixed_r, fixed_r + n);
+    } else if (!transversal(n, rows_of_col, r)) {
         S->singular = true;
         return S;
     }

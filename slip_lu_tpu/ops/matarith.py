@@ -68,6 +68,106 @@ def normalize(acc: jnp.ndarray, base_bits: int = LIMB_BITS
     return digs, out
 
 
+def normalize_unsigned(acc: jnp.ndarray, base_bits: int = LIMB_BITS
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Static-depth carry resolution for NONNEGATIVE accumulators.
+
+    The while_loop in `normalize` pays a per-iteration sync on TPU; for
+    the hot nonnegative cases (convolution products, magnitude adds) this
+    fixed pipeline is much cheaper: value-halving passes bring every
+    carry into {0,1}, then a Kogge-Stone generate/propagate prefix scan
+    resolves worst-case ripple chains exactly (same construction as the
+    Pallas kernel). int32 inputs up to 2**31-1 are handled.
+    """
+    mask = (1 << base_bits) - 1
+    d = acc.shape[-1]
+
+    def shift1(car):
+        return jnp.concatenate(
+            [jnp.zeros_like(car[..., :1]), car[..., :-1]], axis=-1)
+
+    v = acc
+    out_carry = jnp.zeros_like(acc[..., 0])
+    # 2^31 -> <= base + 2^(31-2*bits) ... : 4 passes reach carry<=1 for
+    # base_bits >= 8 (see pallas_kernels._reduction_passes)
+    passes = 1
+    bound = (1 << 31) - 1
+    while bound > (1 << base_bits):
+        bound = mask + (bound >> base_bits)
+        passes += 1
+    for _ in range(passes):
+        digs = v & mask
+        car = v >> base_bits
+        out_carry = out_carry + car[..., -1]
+        v = digs + shift1(car)
+    # v in [0, 2**base_bits]; fold to digits + single-bit generate
+    s = v & mask
+    g = v >> base_bits
+    p = (s == mask).astype(jnp.int32)
+    dist = 1
+    while dist < d:
+        g_sh = jnp.concatenate(
+            [jnp.zeros_like(g[..., :dist]), g[..., :-dist]], axis=-1)
+        p_sh = jnp.concatenate(
+            [jnp.zeros_like(p[..., :dist]), p[..., :-dist]], axis=-1)
+        g = g | (p & g_sh)
+        p = p & p_sh
+        dist *= 2
+    # composed g[i] = carry out of position i; its top entry leaves the
+    # array (counted once here — propagation through the top included)
+    out_carry = out_carry + g[..., -1]
+    carry_in = jnp.concatenate(
+        [jnp.zeros_like(g[..., :1]), g[..., :-1]], axis=-1)
+    return (s + carry_in) & mask, out_carry
+
+
+def mag_shr_bits_vec(a: jnp.ndarray, nbits: jnp.ndarray) -> jnp.ndarray:
+    """Right-shift magnitudes by per-entry bit counts — barrel shifter.
+
+    log2 passes of static slices + selects instead of the gathers of
+    arith.mag_shr_bits (TPU gathers cost ~100x an elementwise pass).
+    nbits broadcasts over a's batch dims; values in [0, 16*W).
+    """
+    w = a.shape[-1]
+    nb = jnp.broadcast_to(nbits, a.shape[:-1]).astype(jnp.int32)
+    limb_shift = nb // LIMB_BITS
+    # limb-granularity shift, powers of two
+    step = 1
+    while step < w:
+        take = ((limb_shift & step) != 0)[..., None]
+        shifted = jnp.concatenate(
+            [a[..., step:], jnp.zeros_like(a[..., :step])], axis=-1)
+        a = jnp.where(take, shifted, a)
+        step *= 2
+    # bit-granularity shift within limbs, powers of two (1, 2, 4, 8)
+    s = nb % LIMB_BITS
+    for bit in (1, 2, 4, 8):
+        take = ((s & bit) != 0)[..., None]
+        nxt = jnp.concatenate(
+            [a[..., 1:], jnp.zeros_like(a[..., :1])], axis=-1)
+        shifted = ((a >> bit) | ((nxt << (LIMB_BITS - bit)) & MASK)) & MASK
+        a = jnp.where(take, shifted, a)
+    return a
+
+
+def trailing_zero_bits_vec(d: jnp.ndarray) -> jnp.ndarray:
+    """Trailing zero bits of nonzero magnitudes [..., W] -> int32 [...].
+
+    Gather-free: the first nonzero limb is selected with a prefix-all-
+    zero mask; its within-limb trailing zeros come from the isolated
+    lowest set bit via a float log2 (exact for powers of two < 2**16).
+    """
+    nz = (d != 0).astype(jnp.int32)
+    before = jnp.cumsum(nz, axis=-1) - nz      # nonzero limbs below i
+    first = nz * (before == 0)                  # one-hot first nonzero
+    idx = jnp.sum(first * jnp.arange(d.shape[-1], dtype=jnp.int32),
+                  axis=-1)
+    v = jnp.sum(first * d, axis=-1)
+    lsb = (v & (-v)).astype(jnp.float32)
+    tz16 = jnp.round(jnp.log2(jnp.maximum(lsb, 1.0))).astype(jnp.int32)
+    return idx * LIMB_BITS + tz16
+
+
 def truncate_mag(m: jnp.ndarray, out_w: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Truncate a limb magnitude to out_w limbs, flagging dropped nonzeros."""
     w = m.shape[-1]
@@ -81,23 +181,27 @@ def truncate_mag(m: jnp.ndarray, out_w: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
 # ---------------------------------------------------------------------------
 
 def mag_cmp_vec(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Lexicographic magnitude compare -> {-1, 0, +1}, fully vectorized."""
+    """Lexicographic magnitude compare -> {-1, 0, +1}, fully vectorized.
+
+    Gather-free (TPU gathers cost ~100x an elementwise pass): the sign at
+    the most significant differing limb is selected with a suffix-any
+    mask built from a reversed cumulative maximum.
+    """
     w = max(a.shape[-1], b.shape[-1])
     ap, bp = _pad_to(a, w), _pad_to(b, w)
-    neq = ap != bp
-    # index of the most significant differing limb
-    idx = (w - 1) - jnp.argmax(neq[..., ::-1], axis=-1)
-    av = jnp.take_along_axis(ap, idx[..., None], axis=-1)[..., 0]
-    bv = jnp.take_along_axis(bp, idx[..., None], axis=-1)[..., 0]
-    out = jnp.sign(av - bv).astype(jnp.int32)
-    return jnp.where(jnp.any(neq, axis=-1), out, 0)
+    diff = jnp.sign(ap - bp).astype(jnp.int32)
+    neq = (diff != 0).astype(jnp.int32)
+    # first_from_top[i] = 1 iff limb i differs and no higher limb does
+    any_above = jnp.cumsum(neq[..., ::-1], axis=-1)[..., ::-1] - neq
+    first = neq * (any_above == 0)
+    return jnp.sum(diff * first, axis=-1)
 
 
 def mag_add_vec(a: jnp.ndarray, b: jnp.ndarray, out_w: int
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """|a| + |b| -> (mag [..., out_w], overflow_flag)."""
     w = max(a.shape[-1], b.shape[-1])
-    digs, car = normalize(_pad_to(a, w) + _pad_to(b, w))
+    digs, car = normalize_unsigned(_pad_to(a, w) + _pad_to(b, w))
     if out_w > w:
         out = _pad_to(digs, out_w).at[..., w].add(car)
         return out, jnp.zeros(digs.shape[:-1], dtype=bool)
@@ -153,20 +257,31 @@ def _conv_shared_limbs(da: jnp.ndarray, ds: jnp.ndarray,
                        d_out: int) -> jnp.ndarray:
     """Digit conv with a shared operand -> normalized limbs [..., d_out//2].
 
-    Toeplitz matmul + carry resolution; carries past digit d_out are
-    dropped (exact when the product fits, mod 2**(8*d_out) otherwise —
-    exactly what mul_shared / mul_shared_mod need). Fused Pallas kernel
-    on TPU, XLA ops elsewhere.
+    One gather-free 1-D convolution (batch in the conv N dimension, a
+    single shared kernel) + carry resolution; carries past digit d_out
+    are dropped (exact when the product fits, mod 2**(8*d_out) otherwise
+    — exactly what mul_shared / mul_shared_mod need). Optional fused
+    Pallas kernel on TPU.
     """
-    t = _toeplitz(ds, da.shape[-1], d_out)
     from . import pallas_kernels as _pk
     if ds.ndim == 1 and da.shape[-1] <= _pk._MAX_K and _pk.use_pallas():
+        t = _toeplitz(ds, da.shape[-1], d_out)
         flat = da.reshape(-1, da.shape[-1])
         limbs = _pk.mul_shared_digits_pallas(flat, t, d_out)
         return limbs.reshape(da.shape[:-1] + (d_out // 2,))
-    acc = jnp.tensordot(da, t, axes=[[-1], [0]])
-    digs, _ = normalize(acc, 8)
-    return _from_digits(digs)
+    la = da.shape[-1]
+    ls = ds.shape[-1]
+    lhs = da.reshape(-1, 1, la)                       # [B, 1, La]
+    rhs = ds[None, None, ::-1]                        # [1, 1, Ls]
+    acc = lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1,), padding=[(ls - 1, ls - 1)],
+        dimension_numbers=("NCH", "OIH", "NCH"))[:, 0, :]
+    if acc.shape[-1] >= d_out:
+        acc = acc[..., :d_out]
+    else:
+        acc = jnp.pad(acc, ((0, 0), (0, d_out - acc.shape[-1])))
+    digs, _ = normalize_unsigned(acc, 8)
+    return _from_digits(digs).reshape(da.shape[:-1] + (d_out // 2,))
 
 
 def mul_shared(a: jnp.ndarray, shared: jnp.ndarray, out_w: int
@@ -195,15 +310,18 @@ def mul_outer(col: jnp.ndarray, row: jnp.ndarray, out_w: int
               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Outer product of magnitudes: col [R, Wc] x row [C, Wr] -> [R, C, out_w].
 
-    out[r, c] = col[r] * row[c]; one dot_general [R, Lc] @ [Lc, C*D].
+    out[r, c] = col[r] * row[c]; one gather-free convolution with R as
+    the conv batch and C as the output channels.
     """
     dc = _to_digits(col)                   # [R, Lc]
     dr = _to_digits(row)                   # [C, Lr]
     lc, lr = dc.shape[-1], dr.shape[-1]
-    d_out = lc + lr
-    t = _toeplitz(dr, lc, d_out)           # [C, Lc, D]
-    acc = jnp.einsum("ru,cud->rcd", dc, t)
-    digs, _ = normalize(acc, 8)
+    acc = lax.conv_general_dilated(
+        dc[:, None, :], dr[:, None, ::-1],
+        window_strides=(1,), padding=[(lr - 1, lr - 1)],
+        dimension_numbers=("NCH", "OIH", "NCH"))     # [R, C, Lc+Lr-1]
+    acc = jnp.pad(acc, ((0, 0), (0, 0), (0, 1)))     # even digit count
+    digs, _ = normalize_unsigned(acc, 8)
     limbs = _from_digits(digs)
     return truncate_mag(limbs, out_w)
 
@@ -255,8 +373,8 @@ def hensel_inv(d_odd: jnp.ndarray, out_w: int) -> jnp.ndarray:
 def div_precompute_hensel(d: jnp.ndarray, check_w: int
                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(inverse mod 2**(16*check_w) of the odd part, trailing-zero bits)."""
-    tz = trailing_zero_bits(d)
-    d_odd = mag_shr_bits(d, tz)
+    tz = trailing_zero_bits_vec(d)
+    d_odd = mag_shr_bits_vec(d, tz)
     return hensel_inv(d_odd, check_w), tz
 
 
@@ -271,7 +389,7 @@ def divexact_shared(a: jnp.ndarray, inv: jnp.ndarray, tz: jnp.ndarray,
     Requires the division to be exact — guaranteed by IPGE; bit-exactness
     vs the Python-int oracle is asserted across the test corpus.
     """
-    r = mag_shr_bits(a, jnp.broadcast_to(tz, a.shape[:-1]))
+    r = mag_shr_bits_vec(a, tz)
     q_full = mul_shared_mod(r, inv, inv.shape[-1])
     return truncate_mag(q_full, out_w)
 
@@ -310,7 +428,7 @@ def mul_pairwise(a: jnp.ndarray, b: jnp.ndarray, out_w: int
     """|a[e]| * |b[e]| per entry -> (mag [E, out_w], overflow flag [E])."""
     acc = _pairwise_conv(_to_digits(a), _to_digits(b))
     acc = jnp.pad(acc, ((0, 0), (0, 1)))   # even digit count
-    digs, _ = normalize(acc, 8)
+    digs, _ = normalize_unsigned(acc, 8)
     return truncate_mag(_from_digits(digs), out_w)
 
 
@@ -323,7 +441,7 @@ def mul_pairwise_mod(a: jnp.ndarray, b: jnp.ndarray, out_w: int
         acc = acc[..., :d]
     else:
         acc = jnp.pad(acc, ((0, 0), (0, d - acc.shape[-1])))
-    digs, _ = normalize(acc, 8)
+    digs, _ = normalize_unsigned(acc, 8)
     return _from_digits(digs)
 
 
@@ -335,6 +453,6 @@ def divexact_gathered(a: jnp.ndarray, inv: jnp.ndarray, tz: jnp.ndarray,
     per-step inverse table); tz [E]: trailing zero bits of each d[e].
     Same contract as divexact_shared, pairwise.
     """
-    r = mag_shr_bits(a, tz)
+    r = mag_shr_bits_vec(a, tz)
     q_full = mul_pairwise_mod(r, inv, inv.shape[-1])
     return truncate_mag(q_full, out_w)

@@ -53,7 +53,26 @@ def factorize_solve_sharded_sparse(A: SlipMatrix, analysis: Analysis,
         return SlipMatrix.allocate(Kind.DENSE, Type.MPQ, 0, nrhs)
     p = mesh.devices.size
     q = np.asarray(analysis.q, dtype=np.int64)
-    sched, r = build_schedule_best(A, q)
+    fixed_r = None
+    for plan in range(2):
+        x = _try_plan(A, analysis, b, bz, mesh, options, q, fixed_r)
+        if x is not None:
+            return x
+        if plan == 0:
+            # cancellation repair: pin the oracle's pivot sequence
+            from ..factorize import factorize
+            F = factorize(A, analysis, options)   # raises if singular
+            fixed_r = np.asarray(F.row_perm, dtype=np.int64)
+    from ..tpu.backslash_tpu import factorize_solve_tpu
+    return factorize_solve_tpu(A, analysis, b, options)
+
+
+def _try_plan(A, analysis, b, bz, mesh, options, q, fixed_r):
+    """One schedule plan with widen-and-retry; None if a pivot cancelled."""
+    n = A.n
+    nrhs = bz.n
+    p = mesh.devices.size
+    sched, r = build_schedule_best(A, q, fixed_r)
     ss = shard_schedule(sched, p)
     Aq = _permute_cols(A, q)
     avals = [int(Aq.x[idx]) for c in range(n)
@@ -92,8 +111,7 @@ def factorize_solve_sharded_sparse(A: SlipMatrix, analysis: Analysis,
         o += p * nloc * nrhs
         XM = buf[o:].reshape(p, nloc, nrhs, Ws)
         if sing:
-            from ..tpu.backslash_tpu import factorize_solve_tpu
-            return factorize_solve_tpu(A, analysis, b, options)
+            return None          # caller replans around the oracle pivots
         if ovf:
             W *= 2
             Ws = max(2 * Ws, 2 * W + 2)

@@ -75,21 +75,26 @@ def _sparse_local(valS, valM, XS, XM,
         (cpos, chist, tpos, thist, rpos, rhist, rvalid, dpos, dhist) = xs
         owner = (k % p) == dev
         mask = owner.astype(jnp.int32)
-        # --- owner fixes diag + pivot row (non-owners hold pads -> zeros)
-        allpos = jnp.concatenate([dpos[None], rpos])
-        allhist = jnp.concatenate([dhist[None], rhist])
+        R = cpos.shape[0]
+        C = rpos.shape[0]
+        tposf = tpos.reshape(-1)
+        thistf = thist.reshape(-1)
+        del rvalid  # pad columns are implicit: broadcast row is 0 there
+        # --- ONE batched history fix: diag + pivot row (owner's slots;
+        # pads elsewhere -> zeros) + local pivot column + local tile
+        allpos = jnp.concatenate([dpos[None], rpos, cpos, tposf])
+        allhist = jnp.concatenate([dhist[None], rhist, chist, thistf])
         vS, vM = valS[allpos], valM[allpos]
         fixS, fixM, bad1 = _signed_fix(vS, vM, rp_s, rp_m,
                                        invT[allhist], tzT[allhist],
                                        signT[allhist], W)
-        valS = valS.at[allpos].set(fixS)
-        valM = valM.at[allpos].set(fixM)
+        valS = valS.at[allpos[:1 + C + R]].set(fixS[:1 + C + R])
+        valM = valM.at[allpos[:1 + C + R]].set(fixM[:1 + C + R])
         # --- broadcast the fixed pivot row + rho
-        bS = _bcast(fixS, mask)
-        bM = _bcast(fixM, mask[..., None] if fixM.ndim > 1 else mask)
+        bS = _bcast(fixS[:1 + C], mask)
+        bM = _bcast(fixM[:1 + C], mask)
         rho_s, rho_m = bS[0], bM[0]
         rowS, rowM = bS[1:], bM[1:]
-        del rvalid  # pad columns are implicit: broadcast row is 0 there
         sing = sing | (rho_s == 0)
         rho_m_safe = jnp.where(jnp.all(rho_m == 0), one_w, rho_m)
         inv_k, tz_k = mt.div_precompute_hensel(rho_m_safe, Wi)
@@ -97,20 +102,11 @@ def _sparse_local(valS, valM, XS, XM,
         magT = magT.at[k + 1].set(rho_m_safe)
         invT = invT.at[k + 1].set(inv_k)
         tzT = tzT.at[k + 1].set(tz_k)
-        # --- local pivot-column fix
-        cS, cM = valS[cpos], valM[cpos]
-        colS, colM, bad2 = _signed_fix(cS, cM, rp_s, rp_m,
-                                       invT[chist], tzT[chist],
-                                       signT[chist], W)
-        valS = valS.at[cpos].set(colS)
-        valM = valM.at[cpos].set(colM)
-        # --- local tile fix + IPGE update
-        tposf = tpos.reshape(-1)
-        thistf = thist.reshape(-1)
-        tS, tM = valS[tposf], valM[tposf]
-        t_fixS, t_fixM, bad3 = _signed_fix(tS, tM, rp_s, rp_m,
-                                           invT[thistf], tzT[thistf],
-                                           signT[thistf], W)
+        # --- IPGE update of the (already fixed) tile
+        colS, colM = fixS[1 + C:1 + C + R], fixM[1 + C:1 + C + R]
+        t_fixS, t_fixM = fixS[1 + C + R:], fixM[1 + C + R:]
+        bad2 = jnp.zeros((), dtype=bool)
+        bad3 = jnp.zeros((), dtype=bool)
         p1s, p1m, _ = mt.signed_mul_shared(
             t_fixS.reshape(tpos.shape), t_fixM.reshape(tpos.shape + (W,)),
             rho_s, rho_m_safe, W2)

@@ -69,56 +69,75 @@ def factorize_solve_tpu_sparse(A: SlipMatrix, analysis: Analysis,
         return SlipMatrix.allocate(Kind.DENSE, Type.MPQ, 0, nrhs)
     st = SolveStats(backend="tpu-sparse", n=n, nnz=int(A.p[n]), nrhs=nrhs)
     q = np.asarray(analysis.q, dtype=np.int64)
-    with phase_timer(st, "schedule"):
-        sched, r = build_schedule_best(A, q)  # raises if struct. singular
-        Aq = _permute_cols(A, q)
-        avals = [int(Aq.x[idx]) for c in range(n)
-                 for idx in range(int(Aq.p[c]), int(Aq.p[c + 1]))]
-    st.lnz, st.unz = sched.lnz, sched.unz
-    W = factor_width(A, options.max_limbs)
-    Ws = solve_width(A, bz.x, W, n, options.max_limbs)
-    sched_dev = jnp.asarray(pack_schedule(sched, n))   # one h2d, reusable
-    for attempt in range(_MAX_RETRIES):
-        st.W, st.Ws, st.retries = W, Ws, attempt
-        with phase_timer(st, "pack"):
-            from ..ops.limbs import ints_to_limbs
-            aS, aM = ints_to_limbs(avals, W)
-            valS = np.zeros(sched.nnz + 1, dtype=np.int32)
-            valM = np.zeros((sched.nnz + 1, W), dtype=np.int32)
-            valS[sched.init_pos] = aS
-            valM[sched.init_pos] = aM
-            xb = np.zeros((n + 1, nrhs), dtype=object)
-            xb[:n] = bz.x[r, :]              # rows of B order
-            XS0, XM0 = matrix_to_limbs(xb, Ws)
-            vals_buf = np.concatenate([valS, valM.reshape(-1),
-                                       XS0.reshape(-1), XM0.reshape(-1)])
-        with phase_timer(st, "device"):
-            out = factor_solve_sparse_packed(
-                n, sched.nnz, W, Ws, nrhs, sched.rmax, sched.cmax,
-                sched.umax, jnp.asarray(vals_buf), sched_dev)
-            (XS, XM, det_s, det_m, sing, ovf) = unpack_sparse_result(
-                jax.device_get(out), n, nrhs, W, Ws)
-        if sing:
-            # exact cancellation on a scheduled pivot: full pivoting may
-            # still succeed — dense fallback decides singular vs not
-            st.fallback = True
+    fixed_r = None
+    for plan in range(2):
+        with phase_timer(st, "schedule"):
+            # plan 0: transversal diagonal; plan 1 (cancellation repair):
+            # pin the host oracle's pivot rows — guaranteed nonzero pivots
+            sched, r = build_schedule_best(A, q, fixed_r)
+            Aq = _permute_cols(A, q)
+            avals = [int(Aq.x[idx]) for c in range(n)
+                     for idx in range(int(Aq.p[c]), int(Aq.p[c + 1]))]
+        st.lnz, st.unz = sched.lnz, sched.unz
+        W = factor_width(A, options.max_limbs)
+        Ws = solve_width(A, bz.x, W, n, options.max_limbs)
+        sched_dev = jnp.asarray(pack_schedule(sched, n))  # one reusable h2d
+        sing = False
+        for attempt in range(_MAX_RETRIES):
+            st.W, st.Ws, st.retries = W, Ws, attempt
+            with phase_timer(st, "pack"):
+                from ..ops.limbs import ints_to_limbs
+                aS, aM = ints_to_limbs(avals, W)
+                valS = np.zeros(sched.nnz + 1, dtype=np.int32)
+                valM = np.zeros((sched.nnz + 1, W), dtype=np.int32)
+                valS[sched.init_pos] = aS
+                valM[sched.init_pos] = aM
+                xb = np.zeros((n + 1, nrhs), dtype=object)
+                xb[:n] = bz.x[r, :]          # rows of B order
+                XS0, XM0 = matrix_to_limbs(xb, Ws)
+                vals_buf = np.concatenate([valS, valM.reshape(-1),
+                                           XS0.reshape(-1),
+                                           XM0.reshape(-1)])
+            with phase_timer(st, "device"):
+                out = factor_solve_sparse_packed(
+                    n, sched.nnz, W, Ws, nrhs, sched.rmax, sched.cmax,
+                    sched.umax, jnp.asarray(vals_buf), sched_dev)
+                (XS, XM, det_s, det_m, sing, ovf) = unpack_sparse_result(
+                    jax.device_get(out), n, nrhs, W, Ws)
+            if sing:
+                break
+            if ovf:
+                W *= 2
+                Ws = max(2 * Ws, 2 * W + 2)
+                continue
+            with phase_timer(st, "unpack"):
+                det = int(limbs_to_ints(det_s.reshape(1),
+                                        det_m[None, :])[0])
+                xhat = limbs_to_ints(XS, XM)
+                factor = A.scale / bz.scale
+                x = SlipMatrix.allocate(Kind.DENSE, Type.MPQ, n, nrhs)
+                for k in range(n):
+                    oc = int(q[k])
+                    for c in range(nrhs):
+                        x.x[oc, c] = Fraction(int(xhat[k, c]), det) * factor
             record(st)
-            from .backslash_tpu import factorize_solve_tpu
-            return factorize_solve_tpu(A, analysis, b, options)
-        if ovf:
-            W *= 2
-            Ws = max(2 * Ws, 2 * W + 2)
-            continue
-        with phase_timer(st, "unpack"):
-            det = int(limbs_to_ints(det_s.reshape(1), det_m[None, :])[0])
-            xhat = limbs_to_ints(XS, XM)
-            factor = A.scale / bz.scale
-            x = SlipMatrix.allocate(Kind.DENSE, Type.MPQ, n, nrhs)
-            for k in range(n):
-                oc = int(q[k])
-                for c in range(nrhs):
-                    x.x[oc, c] = Fraction(int(xhat[k, c]), det) * factor
+            return x
+        if not sing:
+            break
+        if plan == 0:
+            # exact cancellation killed a scheduled pivot: replan around
+            # the oracle's actual pivot sequence (reference analogue: the
+            # dynamic pivot search of slip_get_pivot.c, done once on host)
+            with phase_timer(st, "replan"):
+                from ..factorize import factorize
+                F = factorize(A, analysis, options)   # raises if singular
+                fixed_r = np.asarray(F.row_perm, dtype=np.int64)
+    else:
+        # both plans still singular-flagged (cannot happen with a pinned
+        # oracle sequence unless limb widths are exhausted) — last resort
+        st.fallback = True
         record(st)
-        return x
+        from .backslash_tpu import factorize_solve_tpu
+        return factorize_solve_tpu(A, analysis, b, options)
     raise SlipLimbOverflowError(
         f"sparse solve exceeded limb budget after {_MAX_RETRIES} widenings")

@@ -75,16 +75,21 @@ def factor_solve_sparse(n: int,
          k, sing, ovf) = carry
         (cpos, chist, rpos, rhist, dpos, dhist, tpos, thist) = xs
         R = cpos.shape[0]
-        # --- gather + history-fix diag, pivot column, pivot row
-        allpos = jnp.concatenate([dpos[None], cpos, rpos])
-        allhist = jnp.concatenate([dhist[None], chist, rhist])
+        C = rpos.shape[0]
+        tposf = tpos.reshape(-1)
+        thistf = thist.reshape(-1)
+        # --- ONE batched gather + history fix for diag, pivot row, pivot
+        # column, and update tile (every history level is < k, so all
+        # fixes can run before this step's pivot inverse exists)
+        allpos = jnp.concatenate([dpos[None], rpos, cpos, tposf])
+        allhist = jnp.concatenate([dhist[None], rhist, chist, thistf])
         vS = valS[allpos]
         vM = valM[allpos]
         fixS, fixM, bad1 = _signed_fix(vS, vM, rp_s, rp_m,
                                        invT[allhist], tzT[allhist],
                                        signT[allhist], W)
-        valS = valS.at[allpos].set(fixS)
-        valM = valM.at[allpos].set(fixM)
+        valS = valS.at[allpos[:1 + C + R]].set(fixS[:1 + C + R])
+        valM = valM.at[allpos[:1 + C + R]].set(fixM[:1 + C + R])
         rho_s, rho_m = fixS[0], fixM[0]
         sing = sing | (rho_s == 0)
         rho_m_safe = jnp.where(jnp.all(rho_m == 0), one_w, rho_m)
@@ -93,16 +98,11 @@ def factor_solve_sparse(n: int,
         magT = magT.at[k + 1].set(rho_m_safe)
         invT = invT.at[k + 1].set(inv_k)
         tzT = tzT.at[k + 1].set(tz_k)
-        # --- history-fix the update tile, then IPGE update
-        tposf = tpos.reshape(-1)
-        thistf = thist.reshape(-1)
-        tS = valS[tposf]
-        tM = valM[tposf]
-        t_fixS, t_fixM, bad2 = _signed_fix(tS, tM, rp_s, rp_m,
-                                           invT[thistf], tzT[thistf],
-                                           signT[thistf], W)
-        colS, colM = fixS[1:1 + R], fixM[1:1 + R]
-        rowS, rowM = fixS[1 + R:], fixM[1 + R:]
+        # --- IPGE update of the (already fixed) tile
+        rowS, rowM = fixS[1:1 + C], fixM[1:1 + C]
+        colS, colM = fixS[1 + C:1 + C + R], fixM[1 + C:1 + C + R]
+        t_fixS, t_fixM = fixS[1 + C + R:], fixM[1 + C + R:]
+        bad2 = jnp.zeros((), dtype=bool)
         p1s, p1m, _ = mt.signed_mul_shared(
             t_fixS.reshape(tpos.shape), t_fixM.reshape(tpos.shape + (W,)),
             rho_s, rho_m_safe, W2)

@@ -109,14 +109,20 @@ class SparseSchedule:
     unz: int
 
 
-def build_schedule(A: SlipMatrix, q: np.ndarray) -> Tuple[SparseSchedule,
-                                                          np.ndarray]:
+def build_schedule(A: SlipMatrix, q: np.ndarray,
+                   fixed_r: Optional[np.ndarray] = None
+                   ) -> Tuple[SparseSchedule, np.ndarray]:
     """Symbolic elimination of A[:, q] with transversal diagonal pivots.
 
     Returns (schedule, row_perm) where row_perm[k] is the original row of
     A pivoting step k (so B = A[row_perm][:, q] has the pivots on its
     diagonal). The oracle run with Pivot.DIAGONAL on B chooses the same
     pivot sequence — the parity anchor for the sparse device path.
+
+    fixed_r pins the row sequence instead of computing a transversal —
+    the cancellation-repair path passes the host oracle's actual
+    row_perm, whose pivots are guaranteed nonzero (they are the oracle's
+    IPGE pivots), so the rebuilt schedule cannot cancel.
     """
     if A.kind != Kind.CSC:
         raise SlipIncorrectInputError("build_schedule requires CSC")
@@ -124,7 +130,8 @@ def build_schedule(A: SlipMatrix, q: np.ndarray) -> Tuple[SparseSchedule,
     q = np.asarray(q, dtype=np.int64)
     # permuted pattern B = A[r][:, q] with nonzero diagonal
     Aq = _permute_cols(A, q)
-    r = max_transversal(Aq)
+    r = (np.asarray(fixed_r, dtype=np.int64) if fixed_r is not None
+         else max_transversal(Aq))
     rinv = np.empty(n, dtype=np.int64)
     rinv[r] = np.arange(n)
     # pattern[j] = set of rows of column j of B

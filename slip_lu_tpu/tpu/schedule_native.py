@@ -32,7 +32,7 @@ def _lib():
         lib.slip_schedule_build.restype = ctypes.c_void_p
         lib.slip_schedule_build.argtypes = [
             ctypes.c_int64, ctypes.c_int64, _I64P,
-            _I64P, ctypes.POINTER(ctypes.c_uint8), _I64P]
+            _I64P, ctypes.POINTER(ctypes.c_uint8), _I64P, _I64P]
         lib.slip_schedule_sizes.restype = ctypes.c_int
         lib.slip_schedule_sizes.argtypes = [ctypes.c_void_p, _I64P]
         lib.slip_schedule_fill.restype = ctypes.c_int
@@ -44,7 +44,8 @@ def _lib():
     return lib
 
 
-def build_schedule_native(A: SlipMatrix, q: np.ndarray
+def build_schedule_native(A: SlipMatrix, q: np.ndarray,
+                          fixed_r: Optional[np.ndarray] = None
                           ) -> Optional[Tuple[SparseSchedule, np.ndarray]]:
     """Native schedule build; None if the library is unavailable."""
     lib = _lib()
@@ -60,11 +61,16 @@ def build_schedule_native(A: SlipMatrix, q: np.ndarray
         np.fromiter((1 if A.x[t] != 0 else 0 for t in range(nnzA)),
                     count=nnzA, dtype=np.uint8))
     qa = np.ascontiguousarray(np.asarray(q), dtype=np.int64)
+    if fixed_r is not None:
+        fr = np.ascontiguousarray(np.asarray(fixed_r), dtype=np.int64)
+        fr_ptr = fr.ctypes.data_as(_I64P)
+    else:
+        fr_ptr = None
     h = lib.slip_schedule_build(
         ctypes.c_int64(A.m), ctypes.c_int64(n), p.ctypes.data_as(_I64P),
         i.ctypes.data_as(_I64P),
         mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        qa.ctypes.data_as(_I64P))
+        qa.ctypes.data_as(_I64P), fr_ptr)
     if not h:
         raise SlipIncorrectInputError("native schedule build failed")
     try:
@@ -104,10 +110,11 @@ def build_schedule_native(A: SlipMatrix, q: np.ndarray
         lib.slip_schedule_free(h)
 
 
-def build_schedule_best(A: SlipMatrix, q: np.ndarray
+def build_schedule_best(A: SlipMatrix, q: np.ndarray,
+                        fixed_r: Optional[np.ndarray] = None
                         ) -> Tuple[SparseSchedule, np.ndarray]:
     """Native builder when available, Python oracle otherwise."""
-    out = build_schedule_native(A, q)
+    out = build_schedule_native(A, q, fixed_r)
     if out is not None:
         return out
-    return build_schedule(A, q)
+    return build_schedule(A, q, fixed_r)
