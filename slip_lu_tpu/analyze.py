@@ -28,6 +28,11 @@ class Analysis:
     q: np.ndarray       # column permutation, len n
     lnz: int            # estimated nnz(L) (pre-size hint only)
     unz: int            # estimated nnz(U)
+    # symbolic state cached by the static-schedule sparse path: pinned
+    # pivot rows after a cancellation repair, so repeated solves with the
+    # same analysis skip the failed transversal plan (the reference
+    # similarly carries symbolic results in SLIP_LU_analysis)
+    sparse_fixed_r: "np.ndarray | None" = None
 
 
 def analyze(A: SlipMatrix, options: Optional[Options] = None) -> Analysis:

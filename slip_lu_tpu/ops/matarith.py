@@ -210,9 +210,17 @@ def mag_add_vec(a: jnp.ndarray, b: jnp.ndarray, out_w: int
 
 
 def mag_sub_vec(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """|a| - |b| assuming |a| >= |b| (undefined otherwise)."""
+    """|a| - |b| assuming |a| >= |b| (undefined otherwise).
+
+    Borrow-free: a - b = a + complement(b) + 1 (mod 2**16W), all terms
+    nonnegative, so the static carry resolver applies; the end-around
+    carry (exactly 1 when a >= b) is dropped by the mod.
+    """
     w = max(a.shape[-1], b.shape[-1])
-    digs, _ = normalize(_pad_to(a, w) - _pad_to(b, w))
+    comp = MASK - _pad_to(b, w)
+    acc = _pad_to(a, w) + comp
+    acc = acc.at[..., 0].add(1)
+    digs, _ = normalize_unsigned(acc)
     return digs
 
 
@@ -271,11 +279,15 @@ def _conv_shared_limbs(da: jnp.ndarray, ds: jnp.ndarray,
         return limbs.reshape(da.shape[:-1] + (d_out // 2,))
     la = da.shape[-1]
     ls = ds.shape[-1]
-    lhs = da.reshape(-1, 1, la)                       # [B, 1, La]
-    rhs = ds[None, None, ::-1]                        # [1, 1, Ls]
+    flat = da.reshape(-1, la)
+    b = flat.shape[0]
+    # grouped conv with the shared kernel replicated per group lowers far
+    # better on TPU than the single-kernel batch form (~6x measured)
+    rhs = jnp.broadcast_to(ds[::-1], (b, 1, ls))
     acc = lax.conv_general_dilated(
-        lhs, rhs, window_strides=(1,), padding=[(ls - 1, ls - 1)],
-        dimension_numbers=("NCH", "OIH", "NCH"))[:, 0, :]
+        flat[None, :, :], rhs, window_strides=(1,),
+        padding=[(ls - 1, ls - 1)], feature_group_count=b,
+        dimension_numbers=("NCH", "OIH", "NCH"))[0]
     if acc.shape[-1] >= d_out:
         acc = acc[..., :d_out]
     else:
@@ -316,11 +328,8 @@ def mul_outer(col: jnp.ndarray, row: jnp.ndarray, out_w: int
     dc = _to_digits(col)                   # [R, Lc]
     dr = _to_digits(row)                   # [C, Lr]
     lc, lr = dc.shape[-1], dr.shape[-1]
-    acc = lax.conv_general_dilated(
-        dc[:, None, :], dr[:, None, ::-1],
-        window_strides=(1,), padding=[(lr - 1, lr - 1)],
-        dimension_numbers=("NCH", "OIH", "NCH"))     # [R, C, Lc+Lr-1]
-    acc = jnp.pad(acc, ((0, 0), (0, 0), (0, 1)))     # even digit count
+    t = _toeplitz(dr, lc, lc + lr)         # [C, Lc, D]
+    acc = jnp.einsum("ru,cud->rcd", dc, t)
     digs, _ = normalize_unsigned(acc, 8)
     limbs = _from_digits(digs)
     return truncate_mag(limbs, out_w)
@@ -345,10 +354,14 @@ def signed_mul_outer(s_col, m_col, s_row, m_row, out_w: int):
 # ---------------------------------------------------------------------------
 
 def _mod_sub_from_two(v: jnp.ndarray) -> jnp.ndarray:
-    """(2 - v) mod 2**(16*W) for a magnitude v [..., W]."""
-    neg = -v
-    neg = neg.at[..., 0].add(2)
-    digs, _ = normalize(neg)               # dropped borrow == mod
+    """(2 - v) mod 2**(16*W) for a magnitude v [..., W].
+
+    Complement form: 2 - v = complement(v) + 3 (mod 2**16W), nonnegative
+    throughout, so the static carry resolver applies.
+    """
+    comp = MASK - v
+    comp = comp.at[..., 0].add(3)
+    digs, _ = normalize_unsigned(comp)     # dropped carry == mod
     return digs
 
 

@@ -53,7 +53,7 @@ def factorize_solve_sharded_sparse(A: SlipMatrix, analysis: Analysis,
         return SlipMatrix.allocate(Kind.DENSE, Type.MPQ, 0, nrhs)
     p = mesh.devices.size
     q = np.asarray(analysis.q, dtype=np.int64)
-    fixed_r = None
+    fixed_r = analysis.sparse_fixed_r   # cached repair from earlier solves
     for plan in range(2):
         x = _try_plan(A, analysis, b, bz, mesh, options, q, fixed_r)
         if x is not None:
@@ -63,6 +63,7 @@ def factorize_solve_sharded_sparse(A: SlipMatrix, analysis: Analysis,
             from ..factorize import factorize
             F = factorize(A, analysis, options)   # raises if singular
             fixed_r = np.asarray(F.row_perm, dtype=np.int64)
+            analysis.sparse_fixed_r = fixed_r     # cache for reuse
     from ..tpu.backslash_tpu import factorize_solve_tpu
     return factorize_solve_tpu(A, analysis, b, options)
 

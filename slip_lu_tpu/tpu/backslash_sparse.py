@@ -69,7 +69,7 @@ def factorize_solve_tpu_sparse(A: SlipMatrix, analysis: Analysis,
         return SlipMatrix.allocate(Kind.DENSE, Type.MPQ, 0, nrhs)
     st = SolveStats(backend="tpu-sparse", n=n, nnz=int(A.p[n]), nrhs=nrhs)
     q = np.asarray(analysis.q, dtype=np.int64)
-    fixed_r = None
+    fixed_r = analysis.sparse_fixed_r   # cached repair from earlier solves
     for plan in range(2):
         with phase_timer(st, "schedule"):
             # plan 0: transversal diagonal; plan 1 (cancellation repair):
@@ -132,6 +132,7 @@ def factorize_solve_tpu_sparse(A: SlipMatrix, analysis: Analysis,
                 from ..factorize import factorize
                 F = factorize(A, analysis, options)   # raises if singular
                 fixed_r = np.asarray(F.row_perm, dtype=np.int64)
+                analysis.sparse_fixed_r = fixed_r     # cache for reuse
     else:
         # both plans still singular-flagged (cannot happen with a pinned
         # oracle sequence unless limb widths are exhausted) — last resort
