@@ -251,14 +251,24 @@ def signed_sub_vec(sa, ma, sb, mb, out_w: int):
 # ---------------------------------------------------------------------------
 
 def _toeplitz(shared_dig: jnp.ndarray, l_in: int, d_out: int) -> jnp.ndarray:
-    """Band matrix T[..., u, d] = shared_dig[..., d-u] (0 outside)."""
+    """Band matrix T[..., u, d] = shared_dig[..., d-u] (0 outside).
+
+    Gather-free tile/reshape construction: pad s to length L, tile it
+    l_in times, and reshape with row length L-1 — row u is then s
+    rotated right by u (u*(L-1) = -u mod L), which is exactly the
+    Toeplitz band as long as the zero padding covers the wrap-around
+    (L >= ls + l_in - 1 and L > d_out).
+    """
     ls = shared_dig.shape[-1]
-    u = jnp.arange(l_in, dtype=jnp.int32)[:, None]
-    d = jnp.arange(d_out, dtype=jnp.int32)[None, :]
-    idx = d - u
-    valid = (idx >= 0) & (idx < ls)
-    t = shared_dig[..., jnp.clip(idx, 0, ls - 1)]
-    return jnp.where(valid, t, 0)
+    L = max(d_out + 1, ls + l_in)
+    batch = shared_dig.shape[:-1]
+    hp = jnp.concatenate(
+        [shared_dig,
+         jnp.zeros(batch + (L - ls,), shared_dig.dtype)], axis=-1)
+    flat = jnp.tile(hp, (1,) * len(batch) + (l_in,))
+    flat = flat[..., : l_in * (L - 1)]
+    t = flat.reshape(batch + (l_in, L - 1))
+    return t[..., :d_out]
 
 
 def _conv_shared_limbs(da: jnp.ndarray, ds: jnp.ndarray,
