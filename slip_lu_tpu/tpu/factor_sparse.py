@@ -53,7 +53,13 @@ def factor_solve_sparse(n: int,
 
     valS/valM: [E+1(, W)] value slots (A scattered in, fill zero, slot E
     dummy). XS/XM: [n+1, nrhs(, Ws)] RHS with dummy row n.
-    Returns (valS, valM, XS, XM, rhoS, rhoM, singular, overflow).
+
+    Internally signs ride as column 0 of merged value/RHS arrays and the
+    rho tables merge into two (gathered: sign|tz|inv; per-step fetched:
+    sign|mag) — every gather/scatter/table fetch on this runtime pays a
+    fixed ~100us, so halving their count per step matters more than the
+    arithmetic. Returns one flat int32 result buffer:
+      [singular, overflow, det_s, det_m (W), XS (n*nrhs), XM (n*nrhs*Ws)]
     """
     E = valS.shape[0] - 1
     W = valM.shape[-1]
@@ -63,16 +69,18 @@ def factor_solve_sparse(n: int,
     nrhs = XS.shape[-1]
 
     one_w = jnp.zeros(W, jnp.int32).at[0].set(1)
-    # rho/inverse tables; index h+1 holds rho_h (index 0: rho_{-1} = 1)
-    signT0 = jnp.zeros(n + 1, jnp.int32).at[0].set(1)
-    magT0 = jnp.zeros((n + 1, W), jnp.int32).at[0, 0].set(1)
-    invT0 = jnp.zeros((n + 1, Wi), jnp.int32).at[0, 0].set(1)
-    tzT0 = jnp.zeros(n + 1, jnp.int32)
+    val = jnp.concatenate([valS[:, None], valM], axis=-1)   # [E+1, 1+W]
+    X = jnp.concatenate([XS[..., None], XM], axis=-1)       # [n+1, nrhs, 1+Ws]
+    # gathered table: [n+1, 2+Wi] = sign | tz | inverse; index h+1 = rho_h
+    gt0 = jnp.zeros((n + 1, 2 + Wi), jnp.int32)
+    gt0 = gt0.at[0, 0].set(1).at[0, 2].set(1)
+    # per-step table: [n+1, 1+W] = sign | magnitude
+    smt0 = jnp.zeros((n + 1, 1 + W), jnp.int32)
+    smt0 = smt0.at[0, 0].set(1).at[0, 1].set(1)
 
     # ------------------------- factorization scan -------------------------
     def fstep(carry, xs):
-        (valS, valM, rp_s, rp_m, inv_p, tz_p, signT, magT, invT, tzT,
-         k, sing, ovf) = carry
+        val, rp_s, rp_m, inv_p, tz_p, GT, SMT, k, sing, ovf = carry
         (cpos, chist, rpos, rhist, dpos, dhist, tpos, thist) = xs
         R = cpos.shape[0]
         C = rpos.shape[0]
@@ -83,26 +91,25 @@ def factor_solve_sparse(n: int,
         # fixes can run before this step's pivot inverse exists)
         allpos = jnp.concatenate([dpos[None], rpos, cpos, tposf])
         allhist = jnp.concatenate([dhist[None], rhist, chist, thistf])
-        vS = valS[allpos]
-        vM = valM[allpos]
-        fixS, fixM, bad1 = _signed_fix(vS, vM, rp_s, rp_m,
-                                       invT[allhist], tzT[allhist],
-                                       signT[allhist], W)
-        valS = valS.at[allpos[:1 + C + R]].set(fixS[:1 + C + R])
-        valM = valM.at[allpos[:1 + C + R]].set(fixM[:1 + C + R])
+        v = val[allpos]
+        g = GT[allhist]
+        fixS, fixM, bad1 = _signed_fix(v[:, 0], v[:, 1:], rp_s, rp_m,
+                                       g[:, 2:], g[:, 1], g[:, 0], W)
+        fix = jnp.concatenate([fixS[:, None], fixM], axis=-1)
+        val = val.at[allpos[:1 + C + R]].set(fix[:1 + C + R])
         rho_s, rho_m = fixS[0], fixM[0]
         sing = sing | (rho_s == 0)
         rho_m_safe = jnp.where(jnp.all(rho_m == 0), one_w, rho_m)
         inv_k, tz_k = mt.div_precompute_hensel(rho_m_safe, Wi)
-        signT = signT.at[k + 1].set(jnp.where(rho_s == 0, 1, rho_s))
-        magT = magT.at[k + 1].set(rho_m_safe)
-        invT = invT.at[k + 1].set(inv_k)
-        tzT = tzT.at[k + 1].set(tz_k)
+        sign_k = jnp.where(rho_s == 0, 1, rho_s)
+        GT = GT.at[k + 1].set(jnp.concatenate(
+            [sign_k[None], tz_k[None], inv_k]))
+        SMT = SMT.at[k + 1].set(jnp.concatenate(
+            [sign_k[None], rho_m_safe]))
         # --- IPGE update of the (already fixed) tile
         rowS, rowM = fixS[1:1 + C], fixM[1:1 + C]
         colS, colM = fixS[1 + C:1 + C + R], fixM[1 + C:1 + C + R]
         t_fixS, t_fixM = fixS[1 + C + R:], fixM[1 + C + R:]
-        bad2 = jnp.zeros((), dtype=bool)
         p1s, p1m, _ = mt.signed_mul_shared(
             t_fixS.reshape(tpos.shape), t_fixM.reshape(tpos.shape + (W,)),
             rho_s, rho_m_safe, W2)
@@ -110,108 +117,112 @@ def factor_solve_sparse(n: int,
         ds, dm, _ = mt.signed_sub_vec(p1s, p1m, p2s, p2m, W2)
         qs, qm, bad3 = mt.signed_divexact_shared(
             ds, dm, rp_s, inv_p[..., :W2], tz_p, W)
-        valS = valS.at[tposf].set(qs.reshape(-1))
-        valM = valM.at[tposf].set(qm.reshape(-1, W))
+        q = jnp.concatenate([qs.reshape(-1)[:, None], qm.reshape(-1, W)],
+                            axis=-1)
+        val = val.at[tposf].set(q)
         # pads all target the dummy slot; keep it zero
-        valS = valS.at[E].set(0)
-        valM = valM.at[E].set(jnp.zeros(W, jnp.int32))
-        ovf = ovf | jnp.any(bad1) | jnp.any(bad2) | jnp.any(bad3)
-        return (valS, valM, rho_s, rho_m_safe, inv_k, tz_k,
-                signT, magT, invT, tzT, k + 1, sing, ovf), None
+        val = val.at[E].set(jnp.zeros(1 + W, jnp.int32))
+        ovf = ovf | jnp.any(bad1) | jnp.any(bad3)
+        return (val, rho_s, rho_m_safe, inv_k, tz_k,
+                GT, SMT, k + 1, sing, ovf), None
 
-    carry0 = (valS, valM, jnp.int32(1), one_w,
-              invT0[0], jnp.int32(0), signT0, magT0, invT0, tzT0,
-              jnp.int32(0), jnp.bool_(False), jnp.bool_(False))
+    carry0 = (val, jnp.int32(1), one_w, gt0[0, 2:], jnp.int32(0),
+              gt0, smt0, jnp.int32(0), jnp.bool_(False), jnp.bool_(False))
     carry, _ = lax.scan(
         fstep, carry0,
         (col_pos, col_hist, row_pos, row_hist, diag_pos, diag_hist,
          tile_pos, tile_hist))
-    (valS, valM, _, _, _, _, signT, magT, invT, tzT, _, sing, ovf) = carry
+    (val, _, _, _, _, GT, SMT, _, sing, ovf) = carry
 
     # --------------------- forward substitution scan ----------------------
     def sstep(carry, xs):
-        XS, XM, k, ovf = carry
-        (cpos, fhist, dpos_k, xk_hist) = xs
-        rp_s, rp_m = signT[k], magT[k]              # rho_{k-1}
-        rho_s, rho_m = signT[k + 1], magT[k + 1]    # rho_k
-        # history-fix x[k]
-        xkS, xkM = XS[k], XM[k]                     # [nrhs](, Ws)
-        inv_h = jnp.broadcast_to(invT[xk_hist], (nrhs, Wi))
-        tz_h = jnp.broadcast_to(tzT[xk_hist], (nrhs,))
-        s_h = jnp.broadcast_to(signT[xk_hist], (nrhs,))
-        xk_fS, xk_fM, b1 = _signed_fix(xkS, xkM, rp_s, rp_m,
-                                       inv_h, tz_h, s_h, Ws)
-        XS = XS.at[k].set(xk_fS)
-        XM = XM.at[k].set(xk_fM)
-        # history-fix the touched RHS rows
-        rows = row_of[cpos]                         # [R] (pads -> n)
-        riS = XS[rows]
-        riM = XM[rows]
-        flat_inv = invT[fhist]
-        ri_fS, ri_fM, b2 = _signed_fix(
-            riS.reshape(-1), riM.reshape(-1, Ws), rp_s, rp_m,
-            jnp.repeat(flat_inv, nrhs, axis=0),
-            jnp.repeat(tzT[fhist], nrhs), jnp.repeat(signT[fhist], nrhs), Ws)
-        ri_fS = ri_fS.reshape(riS.shape)
-        ri_fM = ri_fM.reshape(riM.shape)
+        X, k, ovf = carry
+        (cpos, fhist, xk_hist) = xs
+        sm_p = SMT[k]                                # rho_{k-1}: sign|mag
+        rp_s, rp_m = sm_p[0], sm_p[1:]
+        sm_k = SMT[k + 1]                            # rho_k
+        rho_s, rho_m = sm_k[0], sm_k[1:]
+        g_div = GT[k]                                # divisor rho_{k-1}
+        # --- ONE gather + history fix for x[k] and the touched RHS rows
+        rows = row_of[cpos]                          # [R] (pads -> n)
+        xrows = jnp.concatenate([jnp.reshape(k, (1,)), rows])
+        gh = GT[jnp.concatenate([xk_hist[None], fhist])]  # [1+R, 2+Wi]
+        xi = X[xrows]                                # [1+R, nrhs, 1+Ws]
+        fS, fM, b1 = _signed_fix(
+            xi[..., 0].reshape(-1), xi[..., 1:].reshape(-1, Ws),
+            rp_s, rp_m,
+            jnp.repeat(gh[:, 2:], nrhs, axis=0),
+            jnp.repeat(gh[:, 1], nrhs), jnp.repeat(gh[:, 0], nrhs), Ws)
+        fS = fS.reshape(1 + rows.shape[0], nrhs)
+        fM = fM.reshape(1 + rows.shape[0], nrhs, Ws)
+        xk_fS, xk_fM = fS[0], fM[0]
+        ri_fS, ri_fM = fS[1:], fM[1:]
         # IPGE: x[i] <- (rho_k * x[i] - L(i,k) * x[k]) / rho_{k-1}
-        lS, lM = valS[cpos], valM[cpos]             # [R](, W)
+        lv = val[cpos]                               # [R, 1+W]
         p1s, p1m, _ = mt.signed_mul_shared(ri_fS, ri_fM, rho_s, rho_m,
                                            W + Ws + 1)
-        p2s, p2m, _ = mt.signed_mul_outer(lS, lM, xk_fS, xk_fM, W + Ws + 1)
+        p2s, p2m, _ = mt.signed_mul_outer(lv[:, 0], lv[:, 1:],
+                                          xk_fS, xk_fM, W + Ws + 1)
         ds, dm, _ = mt.signed_sub_vec(p1s, p1m, p2s, p2m, W + Ws + 1)
-        qs, qm, bad = mt.signed_divexact_shared(ds, dm, rp_s, invT[k],
-                                                tzT[k], Ws)
-        XS = XS.at[rows].set(qs)
-        XM = XM.at[rows].set(qm)
-        XS = XS.at[n].set(jnp.zeros(nrhs, jnp.int32))
-        XM = XM.at[n].set(jnp.zeros((nrhs, Ws), jnp.int32))
-        ovf = ovf | jnp.any(b1) | jnp.any(b2) | jnp.any(bad)
-        return (XS, XM, k + 1, ovf), None
+        qs, qm, bad = mt.signed_divexact_shared(ds, dm, rp_s,
+                                                g_div[2:], g_div[1], Ws)
+        newS = jnp.concatenate([xk_fS[None], qs])
+        newM = jnp.concatenate([xk_fM[None], qm])
+        X = X.at[xrows].set(
+            jnp.concatenate([newS[..., None], newM], axis=-1))
+        X = X.at[n].set(jnp.zeros((nrhs, 1 + Ws), jnp.int32))
+        ovf = ovf | jnp.any(b1) | jnp.any(bad)
+        return (X, k + 1, ovf), None
 
-    carry, _ = lax.scan(sstep, (XS, XM, jnp.int32(0), ovf),
-                        (col_pos, fwd_hist, diag_pos, fwd_xk_hist))
-    XS, XM, _, ovf = carry
+    carry, _ = lax.scan(sstep, (X, jnp.int32(0), ovf),
+                        (col_pos, fwd_hist, fwd_xk_hist))
+    X, _, ovf = carry
 
     # --------------------- scale by det = rho_{n-1} -----------------------
-    XS, XM, o_det = mt.signed_mul_shared(XS, XM, signT[n], magT[n], Ws)
+    det_s, det_m = SMT[n, 0], SMT[n, 1:]
+    sS, sM, o_det = mt.signed_mul_shared(X[..., 0], X[..., 1:],
+                                         det_s, det_m, Ws)
+    X = jnp.concatenate([sS[..., None], sM], axis=-1)
     ovf = ovf | jnp.any(o_det[:n])
 
     # ----------------------- back substitution scan -----------------------
     def bstep(carry, xs):
-        XS, XM, t, ovf = carry
+        X, t, ovf = carry
         (upos, urow) = xs
         j = n - 1 - t
+        g_j = GT[j + 1]                              # rho_j: sign|tz|inv
+        # ONE gather: x[j] plus the update-target rows
+        xrows = jnp.concatenate([jnp.reshape(j, (1,)), urow])
+        xi = X[xrows]
         # x[j] <- x[j] / rho_j (exact)
-        inv_j = jnp.broadcast_to(invT[j + 1], (nrhs, Wi))
-        tz_j = jnp.broadcast_to(tzT[j + 1], (nrhs,))
-        qM, bad = mt.divexact_gathered(XM[j], inv_j, tz_j, Ws)
-        qS = XS[j] * signT[j + 1]
+        inv_j = jnp.broadcast_to(g_j[2:], (nrhs, Wi))
+        tz_j = jnp.broadcast_to(g_j[1], (nrhs,))
+        qM, bad = mt.divexact_gathered(xi[0, :, 1:], inv_j, tz_j, Ws)
+        qS = xi[0, :, 0] * g_j[0]
         qS = jnp.where(jnp.all(qM == 0, axis=-1), 0, qS)
-        XS = XS.at[j].set(qS)
-        XM = XM.at[j].set(qM)
         # x[i] -= U(i,j) * x[j] for the above-diagonal slots of column j
-        uS, uM = valS[upos], valM[upos]             # [Umax](, W)
-        pS, pM, o1 = mt.signed_mul_outer(uS, uM, qS, qM, Ws)
-        riS, riM = XS[urow], XM[urow]
-        nS, nM, o2 = mt.signed_sub_vec(riS, riM, pS, pM, Ws)
-        XS = XS.at[urow].set(nS)
-        XM = XM.at[urow].set(nM)
-        XS = XS.at[n].set(jnp.zeros(nrhs, jnp.int32))
-        XM = XM.at[n].set(jnp.zeros((nrhs, Ws), jnp.int32))
+        uv = val[upos]                               # [Umax, 1+W]
+        pS, pM, o1 = mt.signed_mul_outer(uv[:, 0], uv[:, 1:], qS, qM, Ws)
+        nS, nM, o2 = mt.signed_sub_vec(xi[1:, :, 0], xi[1:, :, 1:],
+                                       pS, pM, Ws)
+        newS = jnp.concatenate([qS[None], nS])
+        newM = jnp.concatenate([qM[None], nM])
+        X = X.at[xrows].set(
+            jnp.concatenate([newS[..., None], newM], axis=-1))
+        X = X.at[n].set(jnp.zeros((nrhs, 1 + Ws), jnp.int32))
         ovf = ovf | jnp.any(bad) | jnp.any(o1) | jnp.any(o2)
-        return (XS, XM, t + 1, ovf), None
+        return (X, t + 1, ovf), None
 
-    carry, _ = lax.scan(bstep, (XS, XM, jnp.int32(0), ovf),
+    carry, _ = lax.scan(bstep, (X, jnp.int32(0), ovf),
                         (bwd_pos[::-1], bwd_row[::-1]))
-    XS, XM, _, ovf = carry
+    X, _, ovf = carry
     # ONE flat int32 result buffer (single device->host fetch; the tunnel
     # pays a large per-buffer latency):
     #   [singular, overflow, det_s, det_m (W), XS (n*nrhs), XM (n*nrhs*Ws)]
     flags = jnp.stack([sing.astype(jnp.int32), ovf.astype(jnp.int32)])
-    det_s, det_m = signT[n], magT[n]
     return jnp.concatenate([flags, det_s[None], det_m,
-                            XS[:n].reshape(-1), XM[:n].reshape(-1)])
+                            X[:n, :, 0].reshape(-1),
+                            X[:n, :, 1:].reshape(-1)])
 
 
 def unpack_sparse_result(buf, n, nrhs, W, Ws):
