@@ -23,7 +23,6 @@ Every function is batched over leading dims and jit-compatible.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .arith import (LIMB_BITS, MASK, _from_digits, _pad_to, _to_digits,
-                    inv16, mag_shr_bits, trailing_zero_bits)
+                    inv16)
 
 
 # ---------------------------------------------------------------------------

@@ -22,7 +22,6 @@ point at the chip's dummy slot.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict
 
 import numpy as np
 

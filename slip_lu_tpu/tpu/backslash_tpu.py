@@ -32,7 +32,6 @@ from ..ops.limbs import ints_to_limbs, limbs_to_ints, matrix_to_limbs
 from .bounds import factor_width, solve_width
 from .factor import factor_dense_limbs
 from .fused import factor_solve_dense
-from .solve import solve_dense_limbs
 
 _MAX_RETRIES = 3
 

@@ -38,7 +38,6 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops import matarith as mt
-from ..ops.arith import _pad_to
 from ..options import Pivot
 
 

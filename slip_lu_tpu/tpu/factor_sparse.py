@@ -24,7 +24,6 @@ driver falls back to the dense full-pivoting kernel / widens W.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

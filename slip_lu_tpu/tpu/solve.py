@@ -16,7 +16,6 @@ Inputs come from tpu.factor.factor_dense_limbs: the packed LU tensor
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
