@@ -19,8 +19,8 @@ import time
 
 
 def main() -> None:
-    mat = os.environ.get("SLIP_BENCH_MAT", "data/ExampleMats/grid8_mat.txt")
-    rhs = os.environ.get("SLIP_BENCH_RHS", "data/ExampleMats/grid8_v.txt")
+    mat = os.environ.get("SLIP_BENCH_MAT", "data/ExampleMats/grid16_mat.txt")
+    rhs = os.environ.get("SLIP_BENCH_RHS", "data/ExampleMats/grid16_v.txt")
     here = os.path.dirname(os.path.abspath(__file__))
     sys.path.insert(0, here)
     os.chdir(here)
