@@ -79,8 +79,9 @@ def factor_solve_sparse(n: int,
 
     # ------------------------- factorization scan -------------------------
     def fstep(carry, xs):
-        val, rp_s, rp_m, inv_p, tz_p, GT, SMT, k, sing, ovf = carry
-        (cpos, chist, rpos, rhist, dpos, dhist, tpos, thist) = xs
+        val, X, rp_s, rp_m, inv_p, tz_p, GT, SMT, k, sing, ovf = carry
+        (cpos, chist, rpos, rhist, dpos, dhist, tpos, thist,
+         fhist, xk_hist) = xs
         R = cpos.shape[0]
         C = rpos.shape[0]
         tposf = tpos.reshape(-1)
@@ -121,61 +122,45 @@ def factor_solve_sparse(n: int,
         val = val.at[tposf].set(q)
         # pads all target the dummy slot; keep it zero
         val = val.at[E].set(jnp.zeros(1 + W, jnp.int32))
-        ovf = ovf | jnp.any(bad1) | jnp.any(bad3)
-        return (val, rho_s, rho_m_safe, inv_k, tz_k,
-                GT, SMT, k + 1, sing, ovf), None
-
-    carry0 = (val, jnp.int32(1), one_w, gt0[0, 2:], jnp.int32(0),
-              gt0, smt0, jnp.int32(0), jnp.bool_(False), jnp.bool_(False))
-    carry, _ = lax.scan(
-        fstep, carry0,
-        (col_pos, col_hist, row_pos, row_hist, diag_pos, diag_hist,
-         tile_pos, tile_hist))
-    (val, _, _, _, _, GT, SMT, _, sing, ovf) = carry
-
-    # --------------------- forward substitution scan ----------------------
-    def sstep(carry, xs):
-        X, k, ovf = carry
-        (cpos, fhist, xk_hist) = xs
-        sm_p = SMT[k]                                # rho_{k-1}: sign|mag
-        rp_s, rp_m = sm_p[0], sm_p[1:]
-        sm_k = SMT[k + 1]                            # rho_k
-        rho_s, rho_m = sm_k[0], sm_k[1:]
-        g_div = GT[k]                                # divisor rho_{k-1}
-        # --- ONE gather + history fix for x[k] and the touched RHS rows
+        # --- forward substitution rides the same step (the reference's
+        # left-looking style): x[k] and the touched RHS rows history-fix
+        # in one batch, then IPGE with the L column already in registers
         rows = row_of[cpos]                          # [R] (pads -> n)
         xrows = jnp.concatenate([jnp.reshape(k, (1,)), rows])
-        gh = GT[jnp.concatenate([xk_hist[None], fhist])]  # [1+R, 2+Wi]
+        gh = GT[jnp.concatenate([xk_hist[None], fhist])]
         xi = X[xrows]                                # [1+R, nrhs, 1+Ws]
-        fS, fM, b1 = _signed_fix(
+        fSx, fMx, b1 = _signed_fix(
             xi[..., 0].reshape(-1), xi[..., 1:].reshape(-1, Ws),
             rp_s, rp_m,
             jnp.repeat(gh[:, 2:], nrhs, axis=0),
             jnp.repeat(gh[:, 1], nrhs), jnp.repeat(gh[:, 0], nrhs), Ws)
-        fS = fS.reshape(1 + rows.shape[0], nrhs)
-        fM = fM.reshape(1 + rows.shape[0], nrhs, Ws)
-        xk_fS, xk_fM = fS[0], fM[0]
-        ri_fS, ri_fM = fS[1:], fM[1:]
-        # IPGE: x[i] <- (rho_k * x[i] - L(i,k) * x[k]) / rho_{k-1}
-        lv = val[cpos]                               # [R, 1+W]
-        p1s, p1m, _ = mt.signed_mul_shared(ri_fS, ri_fM, rho_s, rho_m,
-                                           W + Ws + 1)
-        p2s, p2m, _ = mt.signed_mul_outer(lv[:, 0], lv[:, 1:],
-                                          xk_fS, xk_fM, W + Ws + 1)
-        ds, dm, _ = mt.signed_sub_vec(p1s, p1m, p2s, p2m, W + Ws + 1)
-        qs, qm, bad = mt.signed_divexact_shared(ds, dm, rp_s,
-                                                g_div[2:], g_div[1], Ws)
-        newS = jnp.concatenate([xk_fS[None], qs])
-        newM = jnp.concatenate([xk_fM[None], qm])
+        fSx = fSx.reshape(1 + R, nrhs)
+        fMx = fMx.reshape(1 + R, nrhs, Ws)
+        xk_fS, xk_fM = fSx[0], fMx[0]
+        x1s, x1m, _ = mt.signed_mul_shared(fSx[1:], fMx[1:],
+                                           sign_k, rho_m_safe, W + Ws + 1)
+        x2s, x2m, _ = mt.signed_mul_outer(colS, colM, xk_fS, xk_fM,
+                                          W + Ws + 1)
+        xds, xdm, _ = mt.signed_sub_vec(x1s, x1m, x2s, x2m, W + Ws + 1)
+        xqs, xqm, xbad = mt.signed_divexact_shared(xds, xdm, rp_s,
+                                                   inv_p, tz_p, Ws)
+        newS = jnp.concatenate([xk_fS[None], xqs])
+        newM = jnp.concatenate([xk_fM[None], xqm])
         X = X.at[xrows].set(
             jnp.concatenate([newS[..., None], newM], axis=-1))
         X = X.at[n].set(jnp.zeros((nrhs, 1 + Ws), jnp.int32))
-        ovf = ovf | jnp.any(b1) | jnp.any(bad)
-        return (X, k + 1, ovf), None
+        ovf = ovf | jnp.any(bad1) | jnp.any(bad3) | jnp.any(b1) \
+            | jnp.any(xbad)
+        return (val, X, rho_s, rho_m_safe, inv_k, tz_k,
+                GT, SMT, k + 1, sing, ovf), None
 
-    carry, _ = lax.scan(sstep, (X, jnp.int32(0), ovf),
-                        (col_pos, fwd_hist, fwd_xk_hist))
-    X, _, ovf = carry
+    carry0 = (val, X, jnp.int32(1), one_w, gt0[0, 2:], jnp.int32(0),
+              gt0, smt0, jnp.int32(0), jnp.bool_(False), jnp.bool_(False))
+    carry, _ = lax.scan(
+        fstep, carry0,
+        (col_pos, col_hist, row_pos, row_hist, diag_pos, diag_hist,
+         tile_pos, tile_hist, fwd_hist, fwd_xk_hist))
+    (val, X, _, _, _, _, GT, SMT, _, sing, ovf) = carry
 
     # --------------------- scale by det = rho_{n-1} -----------------------
     det_s, det_m = SMT[n, 0], SMT[n, 1:]
