@@ -26,6 +26,7 @@ from .errors import (SlipError, SlipIncorrectError, SlipIncorrectInputError,
                      SlipInfo, SlipLimbOverflowError, SlipPanicError,
                      SlipSingularError, raise_for_info)
 from .factorize import Factorization, factorize
+from .interop import backslash_scipy, from_scipy, to_scipy
 from .io import read_dense, read_triplet, write_dense, write_triplet
 from .matrix import Kind, SlipMatrix, Type
 from .options import Options, Ordering, Pivot, RoundMode, default_options
@@ -64,4 +65,5 @@ __all__ = [
     "Type", "Options", "Ordering", "Pivot", "RoundMode", "default_options",
     "check_solution", "solve", "initialize", "finalize",
     "save_factorization", "load_factorization",
+    "backslash_scipy", "from_scipy", "to_scipy",
 ]
