@@ -142,3 +142,93 @@ def factorize_solve_tpu_sparse(A: SlipMatrix, analysis: Analysis,
         return factorize_solve_tpu(A, analysis, b, options)
     raise SlipLimbOverflowError(
         f"sparse solve exceeded limb budget after {_MAX_RETRIES} widenings")
+
+
+def factorize_solve_tpu_sparse_many(As, analysis, bs,
+                                    options: Optional[Options] = None):
+    """Batched exact solves of pattern-sharing systems (data parallel).
+
+    The SURVEY §2.10 batch axis: many independent matrices with the SAME
+    sparsity pattern (e.g. parameter sweeps, time steps on one mesh)
+    share one static schedule and solve in a single vmapped device
+    program. Returns a list of dense MPQ solutions, one per system.
+
+    As: list of CSC x MPZ matrices with identical (p, i) patterns;
+    bs: list of RHS matrices (same length).
+    """
+    options = options or Options()
+    options.validate()
+    if not As or len(As) != len(bs):
+        raise SlipIncorrectInputError("As and bs must be equal-length, "
+                                      "nonempty lists")
+    A0 = As[0]
+    n = A0.n
+    for A in As[1:]:
+        if A.n != n or not np.array_equal(A.p, A0.p) \
+                or not np.array_equal(A.i[:int(A.p[n])],
+                                      A0.i[:int(A0.p[n])]):
+            raise SlipIncorrectInputError(
+                "all matrices must share one sparsity pattern")
+    nb = len(As)
+    bzs = [matrix_copy(b, Kind.DENSE, Type.MPZ, options) for b in bs]
+    nrhs = bzs[0].n
+    q = np.asarray(analysis.q, dtype=np.int64)
+    # transversal must avoid numerically-zero entries in EVERY member;
+    # use the shared structural pattern (all stored entries) — members
+    # with an exact zero on a scheduled pivot fall back individually
+    sched, r = build_schedule_best(A0, q, analysis.sparse_fixed_r)
+    sched_dev = jnp.asarray(pack_schedule(sched, n))
+    W = max(factor_width(A, options.max_limbs) for A in As)
+    Ws = max(solve_width(A, bz.x, W, n, options.max_limbs)
+             for A, bz in zip(As, bzs))
+    from ..ops.limbs import ints_to_limbs
+    for attempt in range(_MAX_RETRIES):
+        bufs = []
+        for A, bz in zip(As, bzs):
+            Aq = _permute_cols(A, q)
+            avals = [int(Aq.x[idx]) for c in range(n)
+                     for idx in range(int(Aq.p[c]), int(Aq.p[c + 1]))]
+            aS, aM = ints_to_limbs(avals, W)
+            valS = np.zeros(sched.nnz + 1, dtype=np.int32)
+            valM = np.zeros((sched.nnz + 1, W), dtype=np.int32)
+            valS[sched.init_pos] = aS
+            valM[sched.init_pos] = aM
+            xb = np.zeros((n + 1, nrhs), dtype=object)
+            xb[:n] = bz.x[r, :]
+            XS0, XM0 = matrix_to_limbs(xb, Ws)
+            bufs.append(np.concatenate([valS, valM.reshape(-1),
+                                        XS0.reshape(-1), XM0.reshape(-1)]))
+        vals_stack = jnp.asarray(np.stack(bufs))
+        run = lambda vb: factor_solve_sparse_packed(
+            n, sched.nnz, W, Ws, nrhs, sched.rmax, sched.cmax, sched.umax,
+            vb, sched_dev)
+        out = jax.device_get(jax.vmap(run)(vals_stack))
+        results = [unpack_sparse_result(out[t], n, nrhs, W, Ws)
+                   for t in range(nb)]
+        # overflow on a non-cancelled member -> widen all (a cancelled
+        # member's flags are garbage past its zero pivot; it falls back)
+        if any(res[5] and not res[4] for res in results):
+            W *= 2
+            Ws = max(2 * Ws, 2 * W + 2)
+            continue
+        xs = []
+        factor_scales = [A.scale / bz.scale for A, bz in zip(As, bzs)]
+        for t, (XS, XM, det_s, det_m, sing, _) in enumerate(results):
+            if sing:
+                # exact cancellation for this member only: solve it solo
+                xs.append(factorize_solve_tpu_sparse(As[t], analysis,
+                                                     bs[t], options))
+                continue
+            det = int(limbs_to_ints(det_s.reshape(1), det_m[None, :])[0])
+            xhat = limbs_to_ints(XS, XM)
+            x = SlipMatrix.allocate(Kind.DENSE, Type.MPQ, n, nrhs)
+            for k in range(n):
+                oc = int(q[k])
+                for c in range(nrhs):
+                    x.x[oc, c] = Fraction(int(xhat[k, c]),
+                                          det) * factor_scales[t]
+            xs.append(x)
+        return xs
+    raise SlipLimbOverflowError(
+        f"batched sparse solve exceeded limb budget after "
+        f"{_MAX_RETRIES} widenings")
