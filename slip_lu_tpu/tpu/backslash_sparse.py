@@ -232,3 +232,84 @@ def factorize_solve_tpu_sparse_many(As, analysis, bs,
     raise SlipLimbOverflowError(
         f"batched sparse solve exceeded limb budget after "
         f"{_MAX_RETRIES} widenings")
+
+
+def factorize_solve_tpu_events(A: SlipMatrix, analysis: Analysis,
+                               b: SlipMatrix,
+                               options: Optional[Options] = None,
+                               chunk: int = 256) -> SlipMatrix:
+    """Exact solve via the event-chunked sparse path (O(fill) memory).
+
+    Same pipeline as factorize_solve_tpu_sparse but the device program
+    scans flat event chunks (tpu/schedule_events.py), so steps with huge
+    update tiles don't inflate every step's padding — the route to the
+    100K+ nnz regime. Falls back to the padded path on cancellation.
+    """
+    from .factor_sparse_events import factor_events, solve_events
+    from .schedule_events import build_event_schedule
+
+    options = options or Options()
+    options.validate()
+    if A.kind != Kind.CSC or A.type != Type.MPZ:
+        raise SlipIncorrectInputError("event path requires CSC x MPZ input")
+    n = A.n
+    if b.m != n:
+        raise SlipIncorrectInputError(f"b has {b.m} rows, matrix has {n}")
+    bz = matrix_copy(b, Kind.DENSE, Type.MPZ, options)
+    nrhs = bz.n
+    if n == 0:
+        return SlipMatrix.allocate(Kind.DENSE, Type.MPQ, 0, nrhs)
+    q = np.asarray(analysis.q, dtype=np.int64)
+    sched, r = build_schedule_best(A, q, analysis.sparse_fixed_r)
+    es = build_event_schedule(sched, chunk=chunk)
+    Aq = _permute_cols(A, q)
+    avals = [int(Aq.x[idx]) for c in range(n)
+             for idx in range(int(Aq.p[c]), int(Aq.p[c + 1]))]
+    W = factor_width(A, options.max_limbs)
+    Ws = solve_width(A, bz.x, W, n, options.max_limbs)
+    from ..ops.limbs import ints_to_limbs
+    for attempt in range(_MAX_RETRIES):
+        W2 = 2 * W + 1
+        Wi = max(W2, Ws)
+        aS, aM = ints_to_limbs(avals, W)
+        val = np.zeros((es.nnz + 1, 1 + W), dtype=np.int32)
+        val[es.init_pos, 0] = aS
+        val[es.init_pos, 1:] = aM
+        val_d, GT, SMT, sing, ovf = factor_events(
+            n, es.nnz, W, Wi, jnp.asarray(val),
+            jnp.asarray(es.f_kind), jnp.asarray(es.f_step),
+            jnp.asarray(es.f_ev))
+        if bool(sing):
+            # cancellation: reuse the padded path's replanning machinery
+            return factorize_solve_tpu_sparse(A, analysis, b, options)
+        if bool(ovf):
+            W *= 2
+            Ws = max(2 * Ws, 2 * W + 2)
+            continue
+        xb = np.zeros((n + 1, nrhs), dtype=object)
+        xb[:n] = bz.x[r, :]
+        XS0, XM0 = matrix_to_limbs(xb, Ws)
+        X0 = np.concatenate([XS0[..., None], XM0], axis=-1)
+        X, ovf2 = solve_events(
+            n, es.nnz, W, Wi, Ws, val_d, GT, SMT, jnp.asarray(X0),
+            jnp.asarray(es.s_kind), jnp.asarray(es.s_step),
+            jnp.asarray(es.s_ev), jnp.asarray(es.b_kind),
+            jnp.asarray(es.b_step), jnp.asarray(es.b_ev))
+        if bool(ovf2):
+            W *= 2
+            Ws = max(2 * Ws, 2 * W + 2)
+            continue
+        SMT_h = jax.device_get(SMT)
+        det = int(limbs_to_ints(SMT_h[n, 0].reshape(1),
+                                SMT_h[n, 1:][None, :])[0])
+        Xh = jax.device_get(X)
+        xhat = limbs_to_ints(Xh[:n, :, 0], Xh[:n, :, 1:])
+        factor = A.scale / bz.scale
+        x = SlipMatrix.allocate(Kind.DENSE, Type.MPQ, n, nrhs)
+        for k in range(n):
+            oc = int(q[k])
+            for c in range(nrhs):
+                x.x[oc, c] = Fraction(int(xhat[k, c]), det) * factor
+        return x
+    raise SlipLimbOverflowError(
+        f"event solve exceeded limb budget after {_MAX_RETRIES} widenings")
