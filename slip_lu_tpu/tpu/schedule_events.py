@@ -6,10 +6,11 @@ late steps have dense-ish tiles. This emitter flattens the same
 computation into fixed-size *chunks* of events tagged by kind, so memory
 and device work are O(total events) = O(IPGE operation count):
 
-  kind 0 (STEP HEAD): history-fix the diagonal -> rho_k, build its
-          Hensel inverse, advance the rho tables. One per step.
-  kind 1 (FIX):  events (slot, hist) — history-fix L-column and U-row
-          slots to level k-1 (their final values).
+  kind 0 (STEP HEAD): a fix chunk whose position 0 is the diagonal —
+          after fixing, rho_k is extracted, its Hensel inverse built,
+          and the rho tables advance. Exactly one per step.
+  kind 1 (FIX):  overflow fix chunks (slot, hist) — history-fix further
+          L-column and U-row slots to level k-1 (their final values).
   kind 2 (UPDATE): events (target_slot, hist, Lslot, Uslot) — the IPGE
           tile update; operand slots point at the (already fixed) pivot
           column/row entries, so operands are *gathered pairs* instead
@@ -100,23 +101,22 @@ def build_event_schedule(sched: SparseSchedule, chunk: int = 256
     dummy_x = (n, 0, E, E)
 
     for k in range(n):
-        # head: diagonal slot + its history
-        emit(0, k, pad_events([(int(sched.diag_pos[k]),
-                                int(sched.diag_hist[k]), E, E)], dummy_fix))
-        # fixes: U-row then L-column slots (any order — disjoint slots)
-        fixes = []
+        # fixes: the diagonal rides position 0 of the first fix chunk,
+        # which doubles as the step head (kind 0) — no dedicated
+        # near-empty head chunk per step
+        fixes = [(int(sched.diag_pos[k]), int(sched.diag_hist[k]), E, E)]
         for b2 in range(sched.cmax):
             g = int(sched.row_pos[k, b2])
             if g < E:
                 fixes.append((g, int(sched.row_hist[k, b2]), E, E))
-        ncol = 0
         for a in range(sched.rmax):
             g = int(sched.col_pos[k, a])
             if g < E:
                 fixes.append((g, int(sched.col_hist[k, a]), E, E))
-                ncol += 1
-        if fixes:
-            emit(1, k, pad_events(fixes, dummy_fix))
+        fixes = pad_events(fixes, dummy_fix)
+        emit(0, k, fixes[:chunk])
+        if len(fixes) > chunk:
+            emit(1, k, fixes[chunk:])
         # updates: (target, hist, Lslot, Uslot)
         ups = []
         for a in range(sched.rmax):
