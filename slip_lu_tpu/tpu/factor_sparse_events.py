@@ -1,12 +1,24 @@
 """Event-chunked sparse REF LU kernel (O(fill) memory and work).
 
 Companion to tpu/schedule_events.py: scans the flat chunk stream with a
-three-way branch per chunk (step head / history fixes / IPGE updates).
-Unlike the padded kernel (factor_sparse.py), update operands arrive as
-*gathered pairs* (Lslot, Uslot per event) instead of an outer product,
-so a step with a huge tile just becomes more chunks — no padding blowup.
-Bit-exact vs the host oracle and the padded kernel (same slot numbering
-and histories; tests/test_events.py).
+UNIFORM body — no lax.switch over chunk kinds, because a multi-way
+branch materializes the full carried state (value slots, rho tables,
+RHS) per chunk, which measured ~10 ms/chunk. Instead every chunk runs
+the same pipeline and masks decide what sticks:
+
+  * fix phase: history-fix the chunk's (slot, hist) events (always);
+  * rho extraction: when the chunk is a step head (kind 0), event 0 is
+    the diagonal — the fixed value becomes rho_k and a small-state
+    lax.cond runs the Hensel lift (its operands/outputs are a few
+    hundred ints, so the cond is cheap);
+  * update phase: the IPGE combination runs for every chunk and a
+    per-event mask (Lslot < E means a real update) selects between the
+    updated and the merely-fixed value.
+
+Unlike the padded kernel, update operands arrive as gathered pairs
+(Lslot, Uslot per event), so a step with a huge tile just becomes more
+chunks — no padding blowup. Bit-exact vs the host oracle and the padded
+kernel (tests/test_events.py).
 """
 
 from __future__ import annotations
@@ -48,64 +60,50 @@ def factor_events(n: int, E: int, W: int, Wi: int,
     smt0 = jnp.zeros((n + 1, 1 + W), jnp.int32).at[0, 0].set(1) \
                                                .at[0, 1].set(1)
 
-    def head(state, ev, k):
+    def chunk_step(state, xs):
+        kind, k, ev = xs
         (val, rp_s, rp_m, inv_p, tz_p, rho_s, rho_m, inv_c, tz_c,
          GT, SMT, sing, ovf) = state
-        # previous step's pivot becomes the shared divisor
-        rp_s, rp_m, inv_p, tz_p = rho_s, rho_m, inv_c, tz_c
-        slots, fixS, fixM, bad = _fix_chunk(val, GT, ev, rp_s, rp_m, W)
-        val = val.at[slots].set(
-            jnp.concatenate([fixS[:, None], fixM], axis=-1))
-        val = val.at[E].set(jnp.zeros(val.shape[-1], jnp.int32))
-        r_s, r_m = fixS[0], fixM[0]
-        sing = sing | (r_s == 0)
-        r_m_safe = jnp.where(jnp.all(r_m == 0), one_w, r_m)
-        inv_k, tz_k = mt.div_precompute_hensel(r_m_safe, Wi)
-        s_k = jnp.where(r_s == 0, 1, r_s)
-        GT = GT.at[k + 1].set(
-            jnp.concatenate([s_k[None], tz_k[None], inv_k]))
-        SMT = SMT.at[k + 1].set(jnp.concatenate([s_k[None], r_m_safe]))
-        ovf = ovf | jnp.any(bad)
-        return (val, rp_s, rp_m, inv_p, tz_p, s_k, r_m_safe, inv_k, tz_k,
-                GT, SMT, sing, ovf)
-
-    def fix(state, ev, k):
-        (val, rp_s, rp_m, inv_p, tz_p, rho_s, rho_m, inv_c, tz_c,
-         GT, SMT, sing, ovf) = state
-        slots, fixS, fixM, bad = _fix_chunk(val, GT, ev, rp_s, rp_m, W)
-        val = val.at[slots].set(
-            jnp.concatenate([fixS[:, None], fixM], axis=-1))
-        val = val.at[E].set(jnp.zeros(val.shape[-1], jnp.int32))
-        return (val, rp_s, rp_m, inv_p, tz_p, rho_s, rho_m, inv_c, tz_c,
-                GT, SMT, sing, ovf | jnp.any(bad))
-
-    def upd(state, ev, k):
-        (val, rp_s, rp_m, inv_p, tz_p, rho_s, rho_m, inv_c, tz_c,
-         GT, SMT, sing, ovf) = state
-        slots, t_fixS, t_fixM, b1 = _fix_chunk(val, GT, ev, rp_s, rp_m, W)
+        is_head = kind == 0
+        # on a head, the previous step's pivot becomes the shared divisor
+        rp_s = jnp.where(is_head, rho_s, rp_s)
+        rp_m = jnp.where(is_head, rho_m, rp_m)
+        inv_p = jnp.where(is_head, inv_c, inv_p)
+        tz_p = jnp.where(is_head, tz_c, tz_p)
+        # --- fix phase (all kinds)
+        slots, fixS, fixM, bad1 = _fix_chunk(val, GT, ev, rp_s, rp_m, W)
+        # --- rho extraction (head only; event 0 is the diagonal)
+        r_s = jnp.where(is_head, fixS[0], rho_s)
+        sing = sing | (is_head & (fixS[0] == 0))
+        r_s = jnp.where(r_s == 0, 1, r_s)
+        r_m_raw = jnp.where(is_head, fixM[0], rho_m)
+        r_m = jnp.where(jnp.all(r_m_raw == 0, axis=-1), one_w, r_m_raw)
+        inv_c, tz_c = lax.cond(
+            is_head,
+            lambda m: mt.div_precompute_hensel(m, Wi),
+            lambda m: (inv_c, tz_c), r_m)
+        gt_row = jnp.concatenate([r_s[None], tz_c[None], inv_c])
+        smt_row = jnp.concatenate([r_s[None], r_m])
+        GT = GT.at[k + 1].set(jnp.where(is_head, gt_row, GT[k + 1]))
+        SMT = SMT.at[k + 1].set(jnp.where(is_head, smt_row, SMT[k + 1]))
+        # --- update phase (applied only to events with a real Lslot)
         lv = val[ev[:, 2]]
         uv = val[ev[:, 3]]
-        p1s, p1m, _ = mt.signed_mul_shared(t_fixS, t_fixM,
-                                           rho_s, rho_m, W2)
+        p1s, p1m, _ = mt.signed_mul_shared(fixS, fixM, r_s, r_m, W2)
         p2m, _ = mt.mul_pairwise(lv[:, 1:], uv[:, 1:], W2)
         p2s = lv[:, 0] * uv[:, 0]
         ds, dm, _ = mt.signed_sub_vec(p1s, p1m, p2s, p2m, W2)
-        qs, qm, bad = mt.signed_divexact_shared(ds, dm, rp_s,
-                                                inv_p[..., :W2], tz_p, W)
+        qs, qm, bad2 = mt.signed_divexact_shared(ds, dm, rp_s,
+                                                 inv_p[..., :W2], tz_p, W)
+        is_upd = (ev[:, 2] < E)
+        outS = jnp.where(is_upd, qs, fixS)
+        outM = jnp.where(is_upd[:, None], qm, fixM)
         val = val.at[slots].set(
-            jnp.concatenate([qs[:, None], qm], axis=-1))
+            jnp.concatenate([outS[:, None], outM], axis=-1))
         val = val.at[E].set(jnp.zeros(val.shape[-1], jnp.int32))
-        return (val, rp_s, rp_m, inv_p, tz_p, rho_s, rho_m, inv_c, tz_c,
-                GT, SMT, sing, ovf | jnp.any(b1) | jnp.any(bad))
-
-    def chunk_step(state, xs):
-        kind, k, ev = xs
-        new = lax.switch(kind, [
-            lambda s: head(s, ev, k),
-            lambda s: fix(s, ev, k),
-            lambda s: upd(s, ev, k),
-        ], state)
-        return new, None
+        ovf = ovf | jnp.any(bad1) | jnp.any(bad2 & is_upd)
+        return (val, rp_s, rp_m, inv_p, tz_p, r_s, r_m, inv_c, tz_c,
+                GT, SMT, sing, ovf), None
 
     one_inv = jnp.zeros(Wi, jnp.int32).at[0].set(1)
     state0 = (val, jnp.int32(1), one_w, one_inv, jnp.int32(0),
@@ -123,12 +121,12 @@ def solve_events(n: int, E: int, W: int, Wi: int, Ws: int,
     """Forward + determinant + backward substitution over event streams.
 
     X: [n+1, nrhs, 1+Ws] merged RHS (dummy row n), rows in pivot order.
-    Returns (X, overflow).
+    Returns (X, overflow). Same uniform-body structure as factor_events.
     """
     nrhs = X.shape[1]
     Wp = W + Ws + 1
 
-    def x_fix(X, GT, ev, rp_s, rp_m):
+    def x_fix(X, ev, rp_s, rp_m):
         rows = ev[:, 0]
         g = GT[ev[:, 1]]
         xi = X[rows]
@@ -141,21 +139,16 @@ def solve_events(n: int, E: int, W: int, Wi: int, Ws: int,
         return (rows, fixS.reshape(-1, nrhs),
                 fixM.reshape(-1, nrhs, Ws), bad)
 
-    def s_head(state, ev, k):
+    def s_chunk(state, xs):
+        kind, k, ev = xs
         X, xk_s, xk_m, ovf = state
-        rp = SMT[k]
-        rows, fS, fM, bad = x_fix(X, GT, ev, rp[0], rp[1:])
-        X = X.at[rows].set(
-            jnp.concatenate([fS[..., None], fM], axis=-1))
-        X = X.at[n].set(jnp.zeros((nrhs, 1 + Ws), jnp.int32))
-        return (X, fS[0], fM[0], ovf | jnp.any(bad))
-
-    def s_upd(state, ev, k):
-        X, xk_s, xk_m, ovf = state
+        is_head = kind == 0
         rp = SMT[k]
         rho = SMT[k + 1]
         g_div = GT[k]
-        rows, fS, fM, b1 = x_fix(X, GT, ev, rp[0], rp[1:])
+        rows, fS, fM, b1 = x_fix(X, ev, rp[0], rp[1:])
+        xk_s = jnp.where(is_head, fS[0], xk_s)
+        xk_m = jnp.where(is_head, fM[0], xk_m)
         lv = val[ev[:, 2]]
         p1s, p1m, _ = mt.signed_mul_shared(fS, fM, rho[0], rho[1:], Wp)
         p2m, _ = mt.mul_pairwise(
@@ -166,19 +159,15 @@ def solve_events(n: int, E: int, W: int, Wi: int, Ws: int,
             p1s.reshape(-1), p1m.reshape(-1, Wp), p2s, p2m, Wp)
         qs, qm, bad = mt.signed_divexact_shared(ds, dm, rp[0],
                                                 g_div[2:], g_div[1], Ws)
-        X = X.at[rows].set(jnp.concatenate(
-            [qs.reshape(-1, nrhs)[..., None],
-             qm.reshape(-1, nrhs, Ws)], axis=-1))
+        is_upd = (ev[:, 2] < E)[:, None]
+        outS = jnp.where(is_upd, qs.reshape(-1, nrhs), fS)
+        outM = jnp.where(is_upd[..., None], qm.reshape(-1, nrhs, Ws), fM)
+        X = X.at[rows].set(
+            jnp.concatenate([outS[..., None], outM], axis=-1))
         X = X.at[n].set(jnp.zeros((nrhs, 1 + Ws), jnp.int32))
-        return (X, xk_s, xk_m, ovf | jnp.any(b1) | jnp.any(bad))
-
-    def s_chunk(state, xs):
-        kind, k, ev = xs
-        new = lax.switch(kind // 2, [
-            lambda s: s_head(s, ev, k),
-            lambda s: s_upd(s, ev, k),
-        ], state)
-        return new, None
+        ovf = ovf | jnp.any(b1) \
+            | jnp.any(bad.reshape(-1, nrhs) & is_upd)
+        return (X, xk_s, xk_m, ovf), None
 
     state0 = (X, jnp.zeros(nrhs, jnp.int32),
               jnp.zeros((nrhs, Ws), jnp.int32), jnp.bool_(False))
@@ -192,44 +181,45 @@ def solve_events(n: int, E: int, W: int, Wi: int, Ws: int,
     X = jnp.concatenate([sS[..., None], sM], axis=-1)
     ovf = ovf | jnp.any(o_det[:n])
 
-    def b_head(state, ev, j):
+    def b_chunk(state, xs):
+        kind, j, ev = xs
         X, xj_s, xj_m, ovf = state
+        is_head = kind == 0
         g = GT[j + 1]
-        row = ev[0, 0]
-        xi = X[row]
-        qM, bad = mt.divexact_gathered(
-            xi[:, 1:], jnp.broadcast_to(g[2:], (nrhs, Wi)),
-            jnp.broadcast_to(g[1], (nrhs,)), Ws)
-        qS = xi[:, 0] * g[0]
-        qS = jnp.where(jnp.all(qM == 0, axis=-1), 0, qS)
-        X = X.at[row].set(jnp.concatenate([qS[:, None], qM], axis=-1))
-        return (X, qS, qM, ovf | jnp.any(bad))
-
-    def b_upd(state, ev, j):
-        X, xj_s, xj_m, ovf = state
         rows = ev[:, 0]
+        xi = X[rows]
+        # head: divide event 0's row by rho_j
+        qM, bad_div = mt.divexact_gathered(
+            xi[0, :, 1:], jnp.broadcast_to(g[2:], (nrhs, Wi)),
+            jnp.broadcast_to(g[1], (nrhs,)), Ws)
+        qS = xi[0, :, 0] * g[0]
+        qS = jnp.where(jnp.all(qM == 0, axis=-1), 0, qS)
+        xj_s = jnp.where(is_head, qS, xj_s)
+        xj_m = jnp.where(is_head, qM, xj_m)
+        # updates: x[row] -= U * x[j] (events with a real Uslot)
         uv = val[ev[:, 2]]
-        pm, o1 = mt.mul_pairwise(
+        pm, _ = mt.mul_pairwise(
             jnp.repeat(uv[:, 1:], nrhs, axis=0),
             jnp.tile(xj_m, (uv.shape[0], 1)), Ws)
         ps = (uv[:, 0:1] * xj_s[None, :]).reshape(-1)
-        xi = X[rows]
         nS, nM, o2 = mt.signed_sub_vec(
-            xi[..., 0].reshape(-1), xi[..., 1:].reshape(-1, Ws),
-            ps, pm, Ws)
-        X = X.at[rows].set(jnp.concatenate(
-            [nS.reshape(-1, nrhs)[..., None],
-             nM.reshape(-1, nrhs, Ws)], axis=-1))
+            xi[..., 0].reshape(-1), xi[..., 1:].reshape(-1, Ws), ps, pm,
+            Ws)
+        is_upd = (ev[:, 2] < E)[:, None]
+        outS = jnp.where(is_upd, nS.reshape(-1, nrhs), xi[..., 0])
+        outM = jnp.where(is_upd[..., None], nM.reshape(-1, nrhs, Ws),
+                         xi[..., 1:])
+        # the head writes the divided x[j] at position 0
+        head0 = jnp.zeros((ev.shape[0], 1), bool).at[0, 0].set(True) \
+            & is_head
+        outS = jnp.where(head0, qS[None, :], outS)
+        outM = jnp.where(head0[..., None], qM[None, :, :], outM)
+        X = X.at[rows].set(
+            jnp.concatenate([outS[..., None], outM], axis=-1))
         X = X.at[n].set(jnp.zeros((nrhs, 1 + Ws), jnp.int32))
-        return (X, xj_s, xj_m, ovf | jnp.any(o1) | jnp.any(o2))
-
-    def b_chunk(state, xs):
-        kind, j, ev = xs
-        new = lax.switch(kind // 2, [
-            lambda s: b_head(s, ev, j),
-            lambda s: b_upd(s, ev, j),
-        ], state)
-        return new, None
+        ovf = ovf | (is_head & jnp.any(bad_div)) \
+            | jnp.any(o2.reshape(-1, nrhs) & is_upd)
+        return (X, xj_s, xj_m, ovf), None
 
     state0 = (X, jnp.zeros(nrhs, jnp.int32),
               jnp.zeros((nrhs, Ws), jnp.int32), ovf)
