@@ -98,7 +98,11 @@ def backslash_scipy(A, b, out: str = "mpq",
         b_arr = b_arr[:, None]
     btype = Type.MPZ if np.issubdtype(b_arr.dtype, np.integer) else Type.FP64
     B = SlipMatrix.from_dense(b_arr.astype(object), btype)
-    out_type = {"mpq": Type.MPQ, "fp64": Type.FP64}[out]
+    try:
+        out_type = {"mpq": Type.MPQ, "fp64": Type.FP64}[out]
+    except KeyError:
+        raise SlipIncorrectInputError(
+            f"unknown out={out!r}, expected 'mpq' or 'fp64'") from None
     x = backslash(A2, B, out_type, options, backend=backend)
     res = np.asarray(x.x)
     if out == "fp64":

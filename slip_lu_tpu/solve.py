@@ -74,8 +74,6 @@ def back_sub(F: Factorization, v: List[List[int]]) -> None:
         diag = F.rhos[j]
         for c in range(nrhs):
             v[j][c] = _exact_div(v[j][c], diag)
-            if v[j][c] == 0:
-                continue
         for r, urj in Uj:
             if r == j:
                 continue

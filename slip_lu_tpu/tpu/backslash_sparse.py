@@ -29,7 +29,7 @@ from ..matrix import Kind, SlipMatrix, Type
 from ..options import Options
 from ..ops.limbs import limbs_to_ints, matrix_to_limbs
 from ..stats import SolveStats, phase_timer, record
-from .bounds import factor_width, solve_width
+from .bounds import factor_width, solve_width, widen_widths
 from .factor_sparse import factor_solve_sparse_packed, unpack_sparse_result
 from .schedule import SparseSchedule, _permute_cols
 from .schedule_native import build_schedule_best
@@ -47,9 +47,6 @@ def pack_schedule(sched: SparseSchedule, n: int) -> np.ndarray:
         sched.bwd_pos.reshape(-1), sched.bwd_row.reshape(-1),
         np.concatenate([sched.row_of, [np.int32(n)]]),
     ]).astype(np.int32)
-
-_MAX_RETRIES = 3
-
 
 def factorize_solve_tpu_sparse(A: SlipMatrix, analysis: Analysis,
                                b: SlipMatrix,
@@ -81,10 +78,14 @@ def factorize_solve_tpu_sparse(A: SlipMatrix, analysis: Analysis,
         st.lnz, st.unz = sched.lnz, sched.unz
         W = factor_width(A, options.max_limbs)
         Ws = solve_width(A, bz.x, W, n, options.max_limbs)
+        W_full = factor_width(A)
+        Ws_full = solve_width(A, bz.x, W_full, n)
         sched_dev = jnp.asarray(pack_schedule(sched, n))  # one reusable h2d
         sing = False
-        for attempt in range(_MAX_RETRIES):
+        attempt = 0
+        while True:
             st.W, st.Ws, st.retries = W, Ws, attempt
+            attempt += 1
             with phase_timer(st, "pack"):
                 from ..ops.limbs import ints_to_limbs
                 aS, aM = ints_to_limbs(avals, W)
@@ -104,12 +105,19 @@ def factorize_solve_tpu_sparse(A: SlipMatrix, analysis: Analysis,
                     sched.umax, jnp.asarray(vals_buf), sched_dev)
                 (XS, XM, det_s, det_m, sing, ovf) = unpack_sparse_result(
                     jax.device_get(out), n, nrhs, W, Ws)
+            # overflow first: a truncated quotient can have all-zero low
+            # limbs, so a width overflow can masquerade as a zero pivot —
+            # widen and retry before trusting the singular flag
+            if ovf:
+                nxt = widen_widths(W, Ws, W_full, Ws_full)
+                if nxt is None:
+                    raise SlipLimbOverflowError(
+                        "overflow persists at the analytic width bound "
+                        f"(W={W}, Ws={Ws}) — internal invariant violated")
+                W, Ws = nxt
+                continue
             if sing:
                 break
-            if ovf:
-                W *= 2
-                Ws = max(2 * Ws, 2 * W + 2)
-                continue
             with phase_timer(st, "unpack"):
                 det = int(limbs_to_ints(det_s.reshape(1),
                                         det_m[None, :])[0])
@@ -122,8 +130,7 @@ def factorize_solve_tpu_sparse(A: SlipMatrix, analysis: Analysis,
                         x.x[oc, c] = Fraction(int(xhat[k, c]), det) * factor
             record(st)
             return x
-        if not sing:
-            break
+        # reaching here means the singular flag stopped the width loop
         if plan == 0:
             # exact cancellation killed a scheduled pivot: replan around
             # the oracle's actual pivot sequence (reference analogue: the
@@ -133,15 +140,13 @@ def factorize_solve_tpu_sparse(A: SlipMatrix, analysis: Analysis,
                 F = factorize(A, analysis, options)   # raises if singular
                 fixed_r = np.asarray(F.row_perm, dtype=np.int64)
                 analysis.sparse_fixed_r = fixed_r     # cache for reuse
-    else:
-        # both plans still singular-flagged (cannot happen with a pinned
-        # oracle sequence unless limb widths are exhausted) — last resort
-        st.fallback = True
-        record(st)
-        from .backslash_tpu import factorize_solve_tpu
-        return factorize_solve_tpu(A, analysis, b, options)
-    raise SlipLimbOverflowError(
-        f"sparse solve exceeded limb budget after {_MAX_RETRIES} widenings")
+    # both plans still singular-flagged (cannot happen with a pinned
+    # oracle sequence unless something deeper is wrong) — last resort:
+    # the dense full-pivoting kernel, which searches pivots dynamically
+    st.fallback = True
+    record(st)
+    from .backslash_tpu import factorize_solve_tpu
+    return factorize_solve_tpu(A, analysis, b, options)
 
 
 def factorize_solve_tpu_sparse_many(As, analysis, bs,
@@ -181,8 +186,11 @@ def factorize_solve_tpu_sparse_many(As, analysis, bs,
     W = max(factor_width(A, options.max_limbs) for A in As)
     Ws = max(solve_width(A, bz.x, W, n, options.max_limbs)
              for A, bz in zip(As, bzs))
+    W_full = max(factor_width(A) for A in As)
+    Ws_full = max(solve_width(A, bz.x, W_full, n)
+                  for A, bz in zip(As, bzs))
     from ..ops.limbs import ints_to_limbs
-    for attempt in range(_MAX_RETRIES):
+    while True:
         bufs = []
         for A, bz in zip(As, bzs):
             Aq = _permute_cols(A, q)
@@ -208,8 +216,12 @@ def factorize_solve_tpu_sparse_many(As, analysis, bs,
         # overflow on a non-cancelled member -> widen all (a cancelled
         # member's flags are garbage past its zero pivot; it falls back)
         if any(res[5] and not res[4] for res in results):
-            W *= 2
-            Ws = max(2 * Ws, 2 * W + 2)
+            nxt = widen_widths(W, Ws, W_full, Ws_full)
+            if nxt is None:
+                raise SlipLimbOverflowError(
+                    "overflow persists at the analytic width bound "
+                    f"(W={W}, Ws={Ws}) — internal invariant violated")
+            W, Ws = nxt
             continue
         xs = []
         factor_scales = [A.scale / bz.scale for A, bz in zip(As, bzs)]
@@ -229,9 +241,6 @@ def factorize_solve_tpu_sparse_many(As, analysis, bs,
                                           det) * factor_scales[t]
             xs.append(x)
         return xs
-    raise SlipLimbOverflowError(
-        f"batched sparse solve exceeded limb budget after "
-        f"{_MAX_RETRIES} widenings")
 
 
 def factorize_solve_tpu_events(A: SlipMatrix, analysis: Analysis,
@@ -267,10 +276,23 @@ def factorize_solve_tpu_events(A: SlipMatrix, analysis: Analysis,
              for idx in range(int(Aq.p[c]), int(Aq.p[c + 1]))]
     W = factor_width(A, options.max_limbs)
     Ws = solve_width(A, bz.x, W, n, options.max_limbs)
+    W_full = factor_width(A)
+    Ws_full = solve_width(A, bz.x, W_full, n)
+
+    def _widen(W, Ws):
+        nxt = widen_widths(W, Ws, W_full, Ws_full)
+        if nxt is None:
+            raise SlipLimbOverflowError(
+                "overflow persists at the analytic width bound "
+                f"(W={W}, Ws={Ws}) — internal invariant violated")
+        return nxt
+
     from ..ops.limbs import ints_to_limbs
-    for attempt in range(_MAX_RETRIES):
+    while True:
         W2 = 2 * W + 1
-        Wi = max(W2, Ws)
+        # must cover the widest solve numerator (W+Ws+1) so a clamped-width
+        # quotient can never wrap undetected (see factor_sparse.py)
+        Wi = max(W2, W + Ws + 1)
         aS, aM = ints_to_limbs(avals, W)
         val = np.zeros((es.nnz + 1, 1 + W), dtype=np.int32)
         val[es.init_pos, 0] = aS
@@ -279,13 +301,14 @@ def factorize_solve_tpu_events(A: SlipMatrix, analysis: Analysis,
             n, es.nnz, W, Wi, jnp.asarray(val),
             jnp.asarray(es.f_kind), jnp.asarray(es.f_step),
             jnp.asarray(es.f_ev))
+        if bool(ovf):
+            # overflow before singular: truncated values can fake a zero
+            # pivot, so widen first and only then trust the flag
+            W, Ws = _widen(W, Ws)
+            continue
         if bool(sing):
             # cancellation: reuse the padded path's replanning machinery
             return factorize_solve_tpu_sparse(A, analysis, b, options)
-        if bool(ovf):
-            W *= 2
-            Ws = max(2 * Ws, 2 * W + 2)
-            continue
         xb = np.zeros((n + 1, nrhs), dtype=object)
         xb[:n] = bz.x[r, :]
         XS0, XM0 = matrix_to_limbs(xb, Ws)
@@ -296,8 +319,7 @@ def factorize_solve_tpu_events(A: SlipMatrix, analysis: Analysis,
             jnp.asarray(es.s_ev), jnp.asarray(es.b_kind),
             jnp.asarray(es.b_step), jnp.asarray(es.b_ev))
         if bool(ovf2):
-            W *= 2
-            Ws = max(2 * Ws, 2 * W + 2)
+            W, Ws = _widen(W, Ws)
             continue
         SMT_h = jax.device_get(SMT)
         det = int(limbs_to_ints(SMT_h[n, 0].reshape(1),
@@ -311,5 +333,3 @@ def factorize_solve_tpu_events(A: SlipMatrix, analysis: Analysis,
             for c in range(nrhs):
                 x.x[oc, c] = Fraction(int(xhat[k, c]), det) * factor
         return x
-    raise SlipLimbOverflowError(
-        f"event solve exceeded limb budget after {_MAX_RETRIES} widenings")

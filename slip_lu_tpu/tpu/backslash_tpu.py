@@ -29,12 +29,9 @@ from ..factorize import Factorization
 from ..matrix import Kind, SlipMatrix, Type
 from ..options import Options
 from ..ops.limbs import ints_to_limbs, limbs_to_ints, matrix_to_limbs
-from .bounds import factor_width, solve_width
+from .bounds import factor_width, solve_width, widen_widths
 from .factor import factor_dense_limbs
 from .fused import factor_solve_dense
-
-_MAX_RETRIES = 3
-
 
 def _tol_dyadic(tol: float) -> Tuple[np.ndarray, int]:
     """tol as (numerator limb magnitude, power-of-two shift)."""
@@ -72,19 +69,25 @@ def factor_tpu(A: SlipMatrix, analysis: Analysis,
                              q=q, scale=A.scale)
     tol_mag, tol_shift = _tol_dyadic(options.tol)
     W = factor_width(A, options.max_limbs)
-    for attempt in range(_MAX_RETRIES):
+    W_full = factor_width(A)
+    while True:
         S, M = _pack_factor_inputs(A, q, W)
         FS, FM, rowidx, singular, overflow = factor_dense_limbs(
             S, M, jnp.asarray(q, dtype=jnp.int32), int(options.pivot),
             jnp.asarray(tol_mag), tol_shift)
+        # overflow first (see factorize_solve_tpu): truncation can fake a
+        # zero pivot, so widen before trusting the singular flag
+        if bool(overflow):
+            if W >= W_full:
+                raise SlipLimbOverflowError(
+                    "overflow persists at the analytic width bound "
+                    f"(W={W}) — internal invariant violated")
+            W = min(2 * W, W_full)  # widen-and-retry
+            continue
         if bool(singular):
             raise SlipSingularError("device factorization found no eligible pivot")
-        if not bool(overflow):
-            return _unpack_factorization(np.asarray(FS), np.asarray(FM),
-                                         np.asarray(rowidx), q, A.scale)
-        W *= 2  # widen-and-retry
-    raise SlipLimbOverflowError(
-        f"factorization exceeded limb budget after {_MAX_RETRIES} widenings")
+        return _unpack_factorization(np.asarray(FS), np.asarray(FM),
+                                     np.asarray(rowidx), q, A.scale)
 
 
 def _unpack_factorization(FS: np.ndarray, FM: np.ndarray, rowidx: np.ndarray,
@@ -127,7 +130,9 @@ def factorize_solve_tpu(A: SlipMatrix, analysis: Analysis, b: SlipMatrix,
     tol_mag, tol_shift = _tol_dyadic(options.tol)
     W = factor_width(A, options.max_limbs)
     Ws = solve_width(A, bz.x, W, n, options.max_limbs)
-    for attempt in range(_MAX_RETRIES):
+    W_full = factor_width(A)
+    Ws_full = solve_width(A, bz.x, W_full, n)
+    while True:
         S, M = _pack_factor_inputs(A, q, W)
         VSn, VMn = matrix_to_limbs(bz.x, Ws)  # natural order; device permutes
         out = factor_solve_dense(S, M, jnp.asarray(q, dtype=jnp.int32),
@@ -138,12 +143,19 @@ def factorize_solve_tpu(A: SlipMatrix, analysis: Analysis, b: SlipMatrix,
         from .fused import unpack_dense_result
         (XS, XM, det_s, det_m, rowidx, singular, f_ovf,
          s_ovf) = unpack_dense_result(jax.device_get(out), n, nrhs, W, Ws)
+        # overflow before singular: truncated quotients can have all-zero
+        # low limbs, making a nonzero pivot column look empty — a width
+        # overflow must widen-and-retry, not surface as SlipSingularError
+        if bool(f_ovf) or bool(s_ovf):
+            nxt = widen_widths(W, Ws, W_full, Ws_full)
+            if nxt is None:
+                raise SlipLimbOverflowError(
+                    "overflow persists at the analytic width bound "
+                    f"(W={W}, Ws={Ws}) — internal invariant violated")
+            W, Ws = nxt
+            continue
         if bool(singular):
             raise SlipSingularError("device factorization found no eligible pivot")
-        if bool(f_ovf) or bool(s_ovf):
-            W *= 2
-            Ws = max(2 * Ws, 2 * W + 2)
-            continue
         det = int(limbs_to_ints(det_s.reshape(1), det_m[None, :])[0])
         xhat = limbs_to_ints(XS, XM)  # [n, nrhs]
         factor = A.scale / bz.scale
@@ -153,5 +165,3 @@ def factorize_solve_tpu(A: SlipMatrix, analysis: Analysis, b: SlipMatrix,
             for c in range(nrhs):
                 x.x[oc, c] = Fraction(int(xhat[k, c]), det) * factor
         return x
-    raise SlipLimbOverflowError(
-        f"solve exceeded limb budget after {_MAX_RETRIES} widenings")

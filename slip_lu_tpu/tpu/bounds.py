@@ -55,12 +55,26 @@ def rhs_bits(b_ints) -> int:
     return max(1, math.ceil(mx))
 
 
+def _input_width(values) -> int:
+    """Limbs needed to store the widest input magnitude (>= 1)."""
+    bits = 1
+    for v in values:
+        b = int(v).bit_length()
+        if b > bits:
+            bits = b
+    return -(-bits // LIMB_BITS)
+
+
 def factor_width(A: SlipMatrix, max_limbs=None) -> int:
     """Limb width W for factorization values (L, U, rhos, intermediates)."""
     bits = hadamard_bits(A) + _GUARD_BITS
     W = -(-bits // LIMB_BITS)
     if max_limbs is not None:
-        W = min(W, max_limbs)
+        # max_limbs caps the (possibly pessimistic) analytic bound, but W
+        # can never go below what the input entries themselves need —
+        # packing would fail before the device could flag anything
+        W = max(min(W, max_limbs),
+                _input_width(A.x[idx] for idx in range(int(A.p[A.n]))))
     return max(2, W)
 
 
@@ -75,5 +89,21 @@ def solve_width(A: SlipMatrix, b_ints, W_factor: int, n: int, max_limbs=None) ->
     bits = 2 * H + rhs_bits(b_ints) + max(1, n).bit_length() + _GUARD_BITS
     W = -(-bits // LIMB_BITS)
     if max_limbs is not None:
-        W = min(W, max_limbs)
+        W = max(min(W, max_limbs), _input_width(b_ints.reshape(-1)))
     return max(W, W_factor + 1)
+
+
+def widen_widths(W: int, Ws: int, W_full: int, Ws_full: int):
+    """Next (W, Ws) on the widen-and-retry ladder.
+
+    Doubles each width, capped at the UNCLAMPED analytic bound (W_full /
+    Ws_full, from factor_width/solve_width with max_limbs=None) — beyond
+    that bound overflow is mathematically impossible, so returns None if
+    the current widths already cover it (an overflow there means a broken
+    invariant, not an undersized budget).
+    """
+    if W >= W_full and Ws >= Ws_full:
+        return None
+    W2 = W if W >= W_full else min(2 * W, W_full)
+    Ws2 = Ws if Ws >= Ws_full else min(max(2 * Ws, 2 * W2 + 2), Ws_full)
+    return W2, max(Ws2, W2 + 1)

@@ -64,7 +64,12 @@ def factor_solve_sparse(n: int,
     W = valM.shape[-1]
     Ws = XM.shape[-1]
     W2 = 2 * W + 1
-    Wi = max(W2, Ws)          # inverse-table width (serves factor + solve)
+    # Inverse-table width serves factor AND solve divisions. It must cover
+    # the WIDEST numerator fed to a divexact (forward-sub IPGE: W+Ws+1
+    # limbs) — if Wi were smaller, a quotient wider than Wi limbs would
+    # wrap mod 2**(16*Wi) and truncate_mag could never flag it (silent
+    # wrong answer when options.max_limbs clamps the analytic bounds).
+    Wi = max(W2, W + Ws + 1)
     nrhs = XS.shape[-1]
 
     one_w = jnp.zeros(W, jnp.int32).at[0].set(1)
