@@ -1,0 +1,254 @@
+"""Uniform-event chunk streams for the fused (Pallas) sparse kernels.
+
+Every arithmetic action of the REF LU factorization and substitution is
+one instance of a single formula over merged sign|magnitude rows:
+
+    out = (value[target] * SMT[mult] - A_op * B_op) / GT[div]
+
+where SMT[r] = rho_{r-1} (row 0 = 1) and GT[r] = (sign, tz, Hensel
+inverse) of rho_{r-1} (row 0 = identity):
+
+  * history fix of a slot last updated to level h-1 (hist field h),
+    brought to level k-1:        mult=k,   div=h,   A=B=dummy (0)
+  * IPGE update at step k:       mult=k+1, div=k,   A=L(i,k), B=U(k,j)
+  * forward-sub update:          mult=k+1, div=k,   A=L(i,k), B=x[k]
+  * determinant scale:           mult=n,   div=0,   A=B=dummy
+  * back-sub pivot division:     mult=0,   div=j+1, A=B=dummy
+  * back-sub update:             mult=0,   div=0,   A=U(i,j), B=x[j]
+
+(reference: the IPGE/history recurrences of slip_ref_triangular_solve.c
+and slip_forward_sub.c / slip_back_sub.c — here statically scheduled and
+flattened into one op stream).
+
+Events pack into CHUNKS that may span elimination steps — the lever that
+keeps device scan length proportional to total work instead of n. Each
+chunk executes in-order phases:
+
+  phase A: <= H pivot HEADS, sequentially (the rho chain is inherently
+           serial): fix the diagonal (same formula), record rho_k into
+           SMT[k+1], Hensel-lift its inverse into GT[k+1];
+  phase B: pass-1 events, batched (history fixes);
+  phase C: pass-2 events, batched (updates; their targets were fixed in
+           pass 1 of this chunk or are already at level k-1).
+
+The builder cuts a chunk whenever an event would touch a slot already
+written in the chunk (the only ordering hazards), so within each pass
+all reads/writes are conflict-free and fully vectorizable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+
+from .schedule import SparseSchedule
+
+
+@dataclasses.dataclass
+class StreamChunks:
+    """One phase-structured chunk stream (factor, or fwd+det+bwd)."""
+    h_step: np.ndarray   # [nc, H] pivot step k (pad -1)
+    h_slot: np.ndarray   # [nc, H] diagonal value slot (pad dummy)
+    h_div: np.ndarray    # [nc, H] hist field of the diagonal (pad 0)
+    ev1: np.ndarray      # [nc, C1, 5] pass-1 (target, mult, div, A, B)
+    ev2: np.ndarray      # [nc, C2, 5] pass-2 events
+    nchunks: int
+    fill: float          # event-slot utilization (diagnostic)
+
+
+@dataclasses.dataclass
+class EventStream:
+    """Everything the fused kernels need for factor + solve."""
+    n: int
+    nnz: int                  # value slots E (slot E = dummy)
+    init_pos: np.ndarray      # [nnz(A)] slot of each original A entry
+    row_of: np.ndarray        # [E+1] row of each slot (dummy -> n)
+    factor: StreamChunks      # targets/operands are value slots
+    solve: StreamChunks       # targets are X rows; A from val, B from X
+    lnz: int
+    unz: int
+
+
+class _ChunkBuilder:
+    """Greedy chunk packer with write-after-read hazard cuts.
+
+    Execution semantics the cuts protect (per chunk): phase A (heads,
+    sequential) -> pass 1 (batched: gather all, then write all) ->
+    pass 2 (likewise). Within a pass every event reads PRE-pass state,
+    so the builder must guarantee:
+      * no two same-pass events write one slot;
+      * nothing a pass-2 event reads (target/operands) is written by
+        pass 2 itself (pass-1 writes are fine — that IS fix-then-use);
+      * a pass-1 write never lands after a same-chunk pass-2 reader of
+        that slot was emitted (stream order would invert).
+    """
+
+    def __init__(self, H: int, C1: int, C2: int, dummy_target: int):
+        self.H, self.C1, self.C2 = H, C1, C2
+        self.dummy = dummy_target
+        self.h: List[List[int]] = []
+        self.p1: List[List[int]] = []
+        self.p2: List[List[int]] = []
+        self.chunks: List[tuple] = []
+        self.w1: set = set()     # slots written by pass 1 (or heads)
+        self.w2: set = set()     # slots written by pass 2
+        self.r2: set = set()     # slots read by pass-2 events
+        self.events = 0
+
+    def _flush(self):
+        if not (self.h or self.p1 or self.p2):
+            return
+        self.chunks.append((self.h, self.p1, self.p2))
+        self.h, self.p1, self.p2 = [], [], []
+        self.w1, self.w2, self.r2 = set(), set(), set()
+
+    def barrier(self):
+        """End the current chunk (segment boundary, e.g. fwd|det|bwd)."""
+        self._flush()
+
+    def add_head(self, k: int, slot: int, div: int):
+        # heads run before both passes; once pass events exist in the
+        # chunk a new head would execute out of order
+        if len(self.h) == self.H or self.p1 or self.p2:
+            self._flush()
+        self.h.append([k, slot, div])
+        self.w1.add(slot)
+
+    def add(self, target, mult, div, a, b, pass2: bool):
+        if pass2:
+            if (target in self.w2 or a in self.w2 or b in self.w2
+                    or len(self.p2) == self.C2):
+                self._flush()
+            self.p2.append([target, mult, div, a, b])
+            self.w2.add(target)
+            self.r2.update((target, a, b))
+        else:
+            if (target in self.w1 or target in self.w2
+                    or target in self.r2 or len(self.p1) == self.C1):
+                self._flush()
+            self.p1.append([target, mult, div, self.dummy, self.dummy]
+                           if a == self.dummy and b == self.dummy
+                           else [target, mult, div, a, b])
+            self.w1.add(target)
+        self.events += 1
+
+    def add_fix_update(self, target, fix_mult, fix_div, upd_mult, upd_div,
+                       a, b):
+        """A stale target: history fix (pass 1) + update (pass 2)."""
+        if (target in self.w1 or target in self.w2 or target in self.r2
+                or a in self.w2 or b in self.w2
+                or len(self.p1) == self.C1 or len(self.p2) == self.C2):
+            self._flush()
+        self.p1.append([target, fix_mult, fix_div, self.dummy, self.dummy])
+        self.p2.append([target, upd_mult, upd_div, a, b])
+        self.w1.add(target)
+        self.w2.add(target)
+        self.r2.update((target, a, b))
+        self.events += 2
+
+    def finish(self, dummy_b: Optional[int] = None) -> StreamChunks:
+        self._flush()
+        nc = max(1, len(self.chunks))
+        H, C1, C2 = self.H, self.C1, self.C2
+        h_step = np.full((nc, H), -1, np.int32)
+        h_slot = np.full((nc, H), self.dummy, np.int32)
+        h_div = np.zeros((nc, H), np.int32)
+        ev1 = np.zeros((nc, C1, 5), np.int32)
+        ev2 = np.zeros((nc, C2, 5), np.int32)
+        for ev in (ev1, ev2):
+            ev[:, :, 0] = self.dummy
+            ev[:, :, 3] = self.dummy
+            ev[:, :, 4] = self.dummy if dummy_b is None else dummy_b
+        used = 0
+        for c, (h, p1, p2) in enumerate(self.chunks):
+            for t, (k, s, d) in enumerate(h):
+                h_step[c, t] = k
+                h_slot[c, t] = s
+                h_div[c, t] = d
+            for t, e in enumerate(p1):
+                ev1[c, t] = e
+            for t, e in enumerate(p2):
+                ev2[c, t] = e
+            used += len(p1) + len(p2)
+        fill = used / float(nc * (C1 + C2))
+        return StreamChunks(h_step=h_step, h_slot=h_slot, h_div=h_div,
+                            ev1=ev1, ev2=ev2, nchunks=nc, fill=fill)
+
+
+def build_event_stream(sched: SparseSchedule, heads_per_chunk: int = 8,
+                       pass1_events: int = 32,
+                       pass2_events: int = 128) -> EventStream:
+    """Flatten a SparseSchedule into uniform-event chunk streams.
+
+    Identity history fixes (hist == current step, value already at level
+    k-1) are skipped outright — unlike the padded kernel, which pays for
+    them as full masked work.
+    """
+    n, E = sched.n, sched.nnz
+
+    fb = _ChunkBuilder(heads_per_chunk, pass1_events, pass2_events, E)
+    for k in range(n):
+        fb.add_head(k, int(sched.diag_pos[k]), int(sched.diag_hist[k]))
+        # finalizing fixes of the pivot column / pivot row (level k-1)
+        for pos, hist in ((sched.col_pos[k], sched.col_hist[k]),
+                          (sched.row_pos[k], sched.row_hist[k])):
+            for a in range(pos.shape[0]):
+                s = int(pos[a])
+                h = int(hist[a])
+                if s >= E or h == k:
+                    continue
+                fb.add(s, k, h, E, E, pass2=False)
+        # IPGE tile updates
+        for a in range(sched.rmax):
+            gl = int(sched.col_pos[k, a])
+            if gl >= E:
+                continue
+            for b2 in range(sched.cmax):
+                gu = int(sched.row_pos[k, b2])
+                gt = int(sched.tile_pos[k, a, b2])
+                if gu >= E or gt >= E:
+                    continue
+                h = int(sched.tile_hist[k, a, b2])
+                if h == k:
+                    fb.add(gt, k + 1, k, gl, gu, pass2=True)
+                else:
+                    fb.add_fix_update(gt, k, h, k + 1, k, gl, gu)
+    factor = fb.finish()
+
+    # ---- solve stream: forward, determinant scale, backward -------------
+    # targets are X rows 0..n-1 (dummy row n); operand A is a value slot,
+    # operand B is an X row
+    sb = _ChunkBuilder(0, pass1_events, pass2_events, n)
+    for k in range(n):
+        h = int(sched.fwd_xk_hist[k])
+        if h != k:
+            sb.add(k, k, h, E, n, pass2=False)       # fix x[k]
+        for a in range(sched.rmax):
+            gl = int(sched.col_pos[k, a])
+            if gl >= E:
+                continue
+            i = int(sched.row_of[gl])
+            hi = int(sched.fwd_hist[k, a])
+            if hi == k:
+                sb.add(i, k + 1, k, gl, k, pass2=True)
+            else:
+                sb.add_fix_update(i, k, hi, k + 1, k, gl, k)
+    sb.barrier()                                     # fwd | det | bwd
+    for i in range(n):
+        sb.add(i, n, 0, E, n, pass2=False)           # x *= det
+    sb.barrier()
+    for j in range(n - 1, -1, -1):
+        sb.add(j, 0, j + 1, E, n, pass2=False)       # x[j] /= rho_j
+        for a in range(sched.umax):
+            g = int(sched.bwd_pos[j, a])
+            if g >= E:
+                continue
+            sb.add(int(sched.bwd_row[j, a]), 0, 0, g, j, pass2=True)
+    solve = sb.finish(dummy_b=n)
+
+    row_of = np.concatenate([sched.row_of, [np.int32(n)]]).astype(np.int32)
+    return EventStream(n=n, nnz=E, init_pos=sched.init_pos, row_of=row_of,
+                       factor=factor, solve=solve,
+                       lnz=sched.lnz, unz=sched.unz)

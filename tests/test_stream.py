@@ -1,0 +1,130 @@
+"""Uniform-event stream semantics: an exact Python-int replay of the
+chunk phases must reproduce the oracle's factorization and solution.
+
+This pins the stream encoding (schedule_stream.py) independently of the
+Pallas kernels: the replay gathers every pass's operands BEFORE writing
+(exactly the kernel's vectorized semantics), so it also proves the
+builder's conflict-cut rules make each pass write-after-read safe.
+"""
+
+from fractions import Fraction
+
+import numpy as np
+import pytest
+
+from slip_lu_tpu.analyze import analyze
+from slip_lu_tpu.backslash import backslash
+from slip_lu_tpu.convert import matrix_copy
+from slip_lu_tpu.matrix import Kind, SlipMatrix, Type
+from slip_lu_tpu.options import Options
+from slip_lu_tpu.tpu.schedule import _permute_cols
+from slip_lu_tpu.tpu.schedule_native import build_schedule_best
+from slip_lu_tpu.tpu.schedule_stream import build_event_stream
+
+from conftest import random_sparse_int
+
+
+def _exact_div(a: int, d: int) -> int:
+    q, r = divmod(a, d)
+    assert r == 0, "stream division not exact"
+    return q
+
+
+def replay_stream(es, avals, b_rows, n):
+    """Execute the streams with Python ints, phase-accurate."""
+    E = es.nnz
+    val = [0] * (E + 1)
+    for v, s in zip(avals, es.init_pos):
+        val[int(s)] = int(v)
+    SMT = [0] * (n + 1)
+    SMT[0] = 1
+    sing = False
+
+    def run_pass(state, events, operand_b):
+        # vectorized semantics: gather everything, then write everything
+        outs = []
+        for (t, m, d, a, bb) in events:
+            num = state[t] * SMT[m] - val[a] * operand_b[bb]
+            outs.append((t, _exact_div(num, SMT[d])))
+        for t, v in outs:
+            state[t] = v
+        state[-1] = 0                      # dummy row stays zero
+
+    f = es.factor
+    for c in range(f.nchunks):
+        for t in range(f.h_step.shape[1]):
+            k = int(f.h_step[c, t])
+            if k < 0:
+                continue
+            s, d = int(f.h_slot[c, t]), int(f.h_div[c, t])
+            rho = _exact_div(val[s] * SMT[k], SMT[d])
+            if rho == 0:
+                sing = True
+                rho = 1
+            SMT[k + 1] = rho
+            val[s] = rho
+        for p in range(2):
+            run_pass(val, [tuple(int(x) for x in f.ev[c, p, e])
+                           for e in range(f.ev.shape[2])], val)
+
+    X = [list(r) for r in b_rows] + [[0] * len(b_rows[0])]
+    s = es.solve
+    for c in range(s.nchunks):
+        for p in range(2):
+            events = [tuple(int(x) for x in s.ev[c, p, e])
+                      for e in range(s.ev.shape[2])]
+            outs = []
+            for (t, m, d, a, bb) in events:
+                outs.append((t, [
+                    _exact_div(X[t][r] * SMT[m] - val[a] * X[bb][r], SMT[d])
+                    for r in range(len(X[0]))]))
+            for t, v in outs:
+                X[t] = v
+            X[n] = [0] * len(X[0])
+    det = SMT[n]
+    return val, X, det, sing
+
+
+def _system(n, nrhs=1, density=0.3, seed=0):
+    rng = np.random.default_rng(seed)
+    A = matrix_copy(random_sparse_int(n, density=density, rng=rng),
+                    Kind.CSC, Type.MPZ)
+    b = SlipMatrix.from_dense(
+        np.array([[int(rng.integers(-9, 10)) for _ in range(nrhs)]
+                  for _ in range(n)], dtype=object), Type.MPZ)
+    return A, b
+
+
+@pytest.mark.parametrize("n,H,C,nrhs,seed", [
+    (7, 2, 4, 1, 1), (15, 4, 16, 1, 2), (24, 8, 128, 2, 3),
+    (40, 8, 64, 1, 4),
+])
+def test_stream_replay_matches_oracle(n, H, C, nrhs, seed):
+    A, b = _system(n, nrhs=nrhs, seed=seed)
+    opts = Options()
+    ana = analyze(A, opts)
+    q = np.asarray(ana.q, np.int64)
+    sched, r = build_schedule_best(A, q, None)
+    es = build_event_stream(sched, heads_per_chunk=H, events_per_pass=C)
+    Aq = _permute_cols(A, q)
+    avals = [int(Aq.x[idx]) for c in range(n)
+             for idx in range(int(Aq.p[c]), int(Aq.p[c + 1]))]
+    b_rows = [[int(b.x[int(r[k]), c2]) for c2 in range(nrhs)]
+              for k in range(n)]
+    val, X, det, sing = replay_stream(es, avals, b_rows, n)
+    assert not sing
+    x_host = backslash(A, b, Type.MPQ, opts)
+    for k in range(n):
+        oc = int(q[k])
+        for c2 in range(nrhs):
+            assert Fraction(X[k][c2], det) == x_host.x[oc, c2], (k, c2)
+
+
+def test_stream_fill_beats_one_step_chunks():
+    """Multi-step packing: far fewer chunks than elimination steps."""
+    A, _ = _system(48, seed=7)
+    ana = analyze(A, Options())
+    sched, _ = build_schedule_best(A, np.asarray(ana.q, np.int64), None)
+    es = build_event_stream(sched, heads_per_chunk=8, events_per_pass=128)
+    assert es.factor.nchunks < sched.n
+    assert es.factor.fill > 0.15
