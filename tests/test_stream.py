@@ -63,16 +63,16 @@ def replay_stream(es, avals, b_rows, n):
                 rho = 1
             SMT[k + 1] = rho
             val[s] = rho
-        for p in range(2):
-            run_pass(val, [tuple(int(x) for x in f.ev[c, p, e])
-                           for e in range(f.ev.shape[2])], val)
+        for ev in (f.ev1, f.ev2):
+            run_pass(val, [tuple(int(x) for x in ev[c, e])
+                           for e in range(ev.shape[1])], val)
 
     X = [list(r) for r in b_rows] + [[0] * len(b_rows[0])]
     s = es.solve
     for c in range(s.nchunks):
-        for p in range(2):
-            events = [tuple(int(x) for x in s.ev[c, p, e])
-                      for e in range(s.ev.shape[2])]
+        for evarr in (s.ev1, s.ev2):
+            events = [tuple(int(x) for x in evarr[c, e])
+                      for e in range(evarr.shape[1])]
             outs = []
             for (t, m, d, a, bb) in events:
                 outs.append((t, [
@@ -105,7 +105,8 @@ def test_stream_replay_matches_oracle(n, H, C, nrhs, seed):
     ana = analyze(A, opts)
     q = np.asarray(ana.q, np.int64)
     sched, r = build_schedule_best(A, q, None)
-    es = build_event_stream(sched, heads_per_chunk=H, events_per_pass=C)
+    es = build_event_stream(sched, heads_per_chunk=H,
+                            pass1_events=max(2, C // 4), pass2_events=C)
     Aq = _permute_cols(A, q)
     avals = [int(Aq.x[idx]) for c in range(n)
              for idx in range(int(Aq.p[c]), int(Aq.p[c + 1]))]
@@ -120,11 +121,19 @@ def test_stream_replay_matches_oracle(n, H, C, nrhs, seed):
             assert Fraction(X[k][c2], det) == x_host.x[oc, c2], (k, c2)
 
 
-def test_stream_fill_beats_one_step_chunks():
-    """Multi-step packing: far fewer chunks than elimination steps."""
+def test_stream_packs_multiple_steps_per_chunk():
+    """Chunk count tracks total work (events/capacity), not 1 per step:
+    cuts and padding may at most ~3x the ideal chunk count."""
     A, _ = _system(48, seed=7)
     ana = analyze(A, Options())
     sched, _ = build_schedule_best(A, np.asarray(ana.q, np.int64), None)
-    es = build_event_stream(sched, heads_per_chunk=8, events_per_pass=128)
-    assert es.factor.nchunks < sched.n
-    assert es.factor.fill > 0.15
+    es = build_event_stream(sched, heads_per_chunk=8,
+                            pass1_events=32, pass2_events=128)
+    f = es.factor
+    events = int((f.ev1[:, :, 0] < es.nnz).sum()
+                 + (f.ev2[:, :, 0] < es.nnz).sum())
+    ideal = -(-events // (32 + 128))
+    assert f.nchunks <= 3 * ideal
+    assert f.fill > 0.3
+    # heads pack too: several steps begin inside one chunk somewhere
+    assert int((f.h_step >= 0).sum(axis=1).max()) > 1
