@@ -109,9 +109,12 @@ class _ChunkBuilder:
         self._flush()
 
     def add_head(self, k: int, slot: int, div: int):
-        # heads run before both passes; once pass events exist in the
-        # chunk a new head would execute out of order
-        if len(self.h) == self.H or self.p1 or self.p2:
+        # heads execute before both passes, but a head only touches its
+        # diagonal slot and table rows no pass event reads, so it may
+        # join a chunk with pass events already queued as long as its
+        # diagonal is untouched there (phase A still runs first)
+        if (len(self.h) == self.H or slot in self.w1 or slot in self.w2
+                or slot in self.r2):
             self._flush()
         self.h.append([k, slot, div])
         self.w1.add(slot)

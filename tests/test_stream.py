@@ -135,5 +135,25 @@ def test_stream_packs_multiple_steps_per_chunk():
     ideal = -(-events // (32 + 128))
     assert f.nchunks <= 3 * ideal
     assert f.fill > 0.3
-    # heads pack too: several steps begin inside one chunk somewhere
+
+
+def test_stream_heads_pack_on_sparse_patterns():
+    """On a banded (low-fill) matrix several steps share one chunk."""
+    n = 60
+    dense = np.zeros((n, n), dtype=object)
+    for i in range(n):
+        dense[i, i] = 2 + (i % 5)
+        if i + 1 < n:
+            dense[i, i + 1] = 1
+            dense[i + 1, i] = 1
+    A = matrix_copy(SlipMatrix.from_dense(dense, Type.MPZ),
+                    Kind.CSC, Type.MPZ)
+    ana = analyze(A, Options())
+    sched, _ = build_schedule_best(A, np.asarray(ana.q, np.int64), None)
+    es = build_event_stream(sched, heads_per_chunk=8,
+                            pass1_events=32, pass2_events=128)
+    f = es.factor
     assert int((f.h_step >= 0).sum(axis=1).max()) > 1
+    # pivot-chain conflicts (step k updates step k+1's diagonal) bound
+    # packing at ~1 step/chunk on a tridiagonal; never worse than that
+    assert f.nchunks <= n
