@@ -1,0 +1,466 @@
+"""Fused sparse REF LU: the entire factorization as ONE Pallas call.
+
+The scheduled sparse path (tpu/factor_sparse.py) lowers each elimination
+step to ~10 separate XLA ops (gathers, convolutions, table updates);
+on this runtime every non-fused op costs a fixed dispatch quantum, which
+floors small-matrix solves far above the hardware's capability. Here the
+whole factorization runs inside one pallas_call whose grid walks the
+uniform-event chunk stream (tpu/schedule_stream.py): per grid step the
+kernel gathers the chunk's operand rows from VMEM-resident state, does
+phase A (sequential pivot heads: history-fix the diagonal, Hensel-lift
+its inverse), then two batched passes of the single formula
+
+    out = (val[target] * SMT[mult] - A * B) / GT[div]
+
+entirely in-register/VMEM. A second pallas_call replays the solve
+stream (forward substitution, determinant scale, back substitution)
+against the finished tables. Reference behavior being reproduced:
+SLIP_LU_factorize.c + slip_ref_triangular_solve.c (factor stream) and
+SLIP_LU_solve.c / slip_forward_sub.c / slip_back_sub.c (solve stream).
+
+Arithmetic is two's-complement multi-limb (ops/pallas_limbs.py); all
+divisions run at modulus width WN where the true quotient provably
+fits, making overflow detection sound by construction. Overflow and
+exact-cancellation (singular pivot) come back as flags; the driver
+widens-and-retries or falls back to the replanning padded path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops import pallas_limbs as pk
+from ..ops.pallas_limbs import MASK16
+
+
+def _r8(x: int) -> int:
+    return ((x + 7) // 8) * 8
+
+
+def _interpret() -> bool:
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def _one_residue(rows: int, b: int) -> jnp.ndarray:
+    return jnp.concatenate(
+        [jnp.ones((1, b), jnp.int32), jnp.zeros((rows - 1, b), jnp.int32)])
+
+
+def _col_of_row(row: jnp.ndarray, rows: int) -> jnp.ndarray:
+    """[1, X] row value -> [X, 8] column-form (all 8 lanes identical),
+    avoiding value lane-slicing (only broadcasts and one transpose)."""
+    return jnp.broadcast_to(row, (8, row.shape[1])).T[:rows]
+
+
+def _signed_terms(pu, x, y, D):
+    """Split the signed-product correction of pu = conv_u(x, y) mod D
+    into (positive_extra, negative_extra): true signed product
+    = pu + pos - neg (all mod 2**(16*D))."""
+    Wx, B = x.shape
+    Wy = y.shape[0]
+    nx = pk.neg_flag(x)
+    ny = pk.neg_flag(y)
+    pad = jnp.zeros((max(0, D - Wy), B), jnp.int32)
+    cy = pk.shift_rows_up(jnp.concatenate([y * nx, pad])[:D], Wx)
+    pad2 = jnp.zeros((max(0, D - Wx), B), jnp.int32)
+    cx = pk.shift_rows_up(jnp.concatenate([x * ny, pad2])[:D], Wy)
+    neg = cx + cy                                  # per-limb <= 2*MASK16
+    if Wx + Wy < D:
+        pos = jnp.zeros((D, B), jnp.int32).at[Wx + Wy].set((nx * ny)[0])
+    else:
+        pos = jnp.zeros((D, B), jnp.int32)
+    return pos, neg
+
+
+def _pass_body(C, Wt, Wo, W8, WN, WI8, E_dummy,
+               ev_ref, tgt_ref, a_ref, SMT_ref, GT_ref, TZ_ref,
+               gat_t, gat_m, gat_a, gat_b, gat_g, gat_z, scat,
+               conv, flag_ref, b_src_ref, flag_slot=1):
+    mT, bT, iT, acc0, acc1 = conv
+    """One batched pass: gather -> fix/update formula -> scatter.
+
+    Wt: limb width of target rows (W8 for factor, Ws8 for solve);
+    Wo: output width = Wt. a operands always come from the value table
+    (width W8); b operands from b_src_ref (val for factor, X for solve).
+    """
+    def gbody(e, _):
+        t = ev_ref[0, e, 0]
+        m_ = ev_ref[0, e, 1]
+        d_ = ev_ref[0, e, 2]
+        a_ = ev_ref[0, e, 3]
+        b_ = ev_ref[0, e, 4]
+        gat_t[pl.ds(e, 1), :] = tgt_ref[pl.ds(t, 1), :]
+        gat_m[pl.ds(e, 1), :] = SMT_ref[pl.ds(m_, 1), :]
+        gat_g[pl.ds(e, 1), :] = GT_ref[pl.ds(d_, 1), :]
+        gat_z[pl.ds(e, 1), :] = TZ_ref[pl.ds(d_, 1), :]
+        gat_a[pl.ds(e, 1), :] = a_ref[pl.ds(a_, 1), :]
+        gat_b[pl.ds(e, 1), :] = b_src_ref[pl.ds(b_, 1), :]
+        return 0
+
+    lax.fori_loop(0, C, gbody, 0)
+
+    tT = gat_t[:C, :].T                            # [Wt, C]
+    aT = gat_a[:C, :].T                            # [W8, C]
+    mT[:] = gat_m[:C, :].T                         # [W8, C]
+    bT[:] = gat_b[:C, :].T                         # [Wb, C]
+    iT[:] = gat_g[:C, :].T[:WN]                    # [WN, C]
+    tz = gat_z[:C, :].T[0:1]                       # [1, C]
+    Wb = bT.shape[0]
+
+    # p1 = target * rho_mult, p2 = A * B (unsigned convs + corrections)
+    p1u = pk.mul_mod(tT, mT, 0, W8, acc0, acc1, WN)
+    pos1, neg1 = _signed_terms(p1u, tT, mT[:], WN)
+    p2u = pk.mul_mod(aT, bT, 0, Wb, acc0, acc1, WN)
+    pos2, neg2 = _signed_terms(p2u, aT, bT[:], WN)
+    # num = (p1u + pos1 + neg2) - (p2u + pos2 + neg1), one sub
+    P = pk.carry_normalize(p1u + pos1 + neg2, 4 * MASK16)
+    N = pk.carry_normalize(p2u + pos2 + neg1, 4 * MASK16)
+    num = pk.sub_mod(P, N)
+    # exact division by rho_div: shift out tz bits, multiply by the
+    # Hensel inverse mod 2**(16*WN) — the true quotient fits in WN
+    shifted = pk.shr_bits(num, tz, W8)
+    q = pk.mul_mod(shifted, iT, 0, WN, acc0, acc1, WN)
+    ovf = ~pk.fits_in(q, Wo)
+    anyovf = jnp.any(ovf).astype(jnp.int32)
+    flag_ref[1] = flag_ref[1] | anyovf
+    flag_ref[flag_slot] = flag_ref[flag_slot] | anyovf
+
+    scat[0:C, :] = q[:Wo].T                        # [C, Wo]
+
+    def sbody(e, _):
+        t = ev_ref[0, e, 0]
+        tgt_ref[pl.ds(t, 1), :] = scat[pl.ds(e, 1), :]
+        return 0
+
+    lax.fori_loop(0, C, sbody, 0)
+    # pads target the dummy row and compute exact zeros, so no re-zero
+    # of row E_dummy is needed (asserted by the stream replay tests)
+
+
+def _factor_kernel(h_step, h_slot, h_div, ev1, ev2, val_in,
+                   val, SMT, GT, TZ, flags,
+                   gat_t, gat_m, gat_a, gat_b, gat_g, gat_z, scat,
+                   mT1, bT1, iT1, acc0a, acc1a,
+                   mT2, bT2, iT2, acc0b, acc1b,
+                   hm, hi, hacc0, hacc1, ld, lx, lu, ltz, flag_ref,
+                   *, n, E, W8, WN, WI8, H, C1, C2):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        val[:] = val_in[:]
+        # row 0 of both tables = the identity (rho_{-1} = 1)
+        SMT[0:1, :] = jnp.concatenate(
+            [jnp.ones((1, 1), jnp.int32),
+             jnp.zeros((1, W8 - 1), jnp.int32)], axis=1)
+        GT[0:1, :] = jnp.concatenate(
+            [jnp.ones((1, 1), jnp.int32),
+             jnp.zeros((1, WI8 - 1), jnp.int32)], axis=1)
+        TZ[0:1, :] = jnp.zeros((1, 8), jnp.int32)
+        for fi in range(8):
+            flag_ref[fi] = 0
+
+    # ---------------- phase A: sequential pivot heads ----------------
+    ld[:] = jnp.zeros_like(ld)
+    ld[0:1, :] = jnp.ones((1, ld.shape[1]), jnp.int32)
+    ltz[:] = jnp.zeros_like(ltz)
+
+    for t in range(H):
+        k = h_step[0, t]
+
+        @pl.when(k >= 0)
+        def _head():
+            slot = h_slot[0, t]
+            dv = h_div[0, t]
+            dcol = _col_of_row(val[pl.ds(slot, 1), :], W8)      # [W8, 8]
+            hm[:] = _col_of_row(SMT[pl.ds(k, 1), :], W8)
+            hi[:] = _col_of_row(GT[pl.ds(dv, 1), :], WN)
+            tzv = TZ[pl.ds(dv, 1), :]                           # [1, 8]
+            p1u = pk.mul_mod(dcol, hm, 0, W8, hacc0, hacc1, WN)
+            pos1, neg1 = _signed_terms(p1u, dcol, hm[:], WN)
+            P = pk.carry_normalize(p1u + pos1, 2 * MASK16)
+            num = pk.sub_mod(P, pk.carry_normalize(neg1, 2 * MASK16))
+            shifted = pk.shr_bits(num, tzv, W8)
+            rho = pk.mul_mod(shifted, hi, 0, WN, hacc0, hacc1, WN)
+            zer = pk.is_zero(rho)                               # [1, 8]
+            flag_ref[0] = flag_ref[0] | zer[0, 0].astype(jnp.int32)
+            hovf = (~pk.fits_in(rho, W8))[0, 0].astype(jnp.int32)
+            flag_ref[1] = flag_ref[1] | hovf
+            flag_ref[2] = flag_ref[2] | hovf
+            rho_w = jnp.where(zer, _one_residue(W8, 8), rho[:W8])
+            row = rho_w.T                                       # [8, W8]
+            SMT[pl.ds(k + 1, 1), :] = row[0:1, :]
+            val[pl.ds(slot, 1), :] = row[0:1, :]
+            # stage for the batched Hensel lift (lane t of the lift
+            # scratch): odd part + trailing zero count
+            tzr = pk.trailing_zero_bits(rho_w)                  # [1, 8]
+            odd = pk.shr_bits(pk.sign_extend(rho_w, WI8), tzr, W8)
+            lane = jnp.zeros((1, 8), jnp.int32).at[0, t].set(1)
+            ld[:] = jnp.where(lane != 0, odd[:, 0:1], ld[:])
+            ltz[:] = jnp.where(lane != 0, tzr[:, 0:1], ltz[:])
+
+    # ---------------- phase A2: batched Hensel lift -------------------
+    x = pk.inv16(ld[0:1, :])
+    w = 1
+    while w < WI8:
+        w2 = min(2 * w, WI8)
+        lx[:] = jnp.concatenate(
+            [x, jnp.zeros((WI8 - x.shape[0], 8), jnp.int32)])
+        tprod = pk.mul_mod(ld[:w2, :], lx, 0, w, hacc0, hacc1, w2)
+        u = pk.two_minus_mod(tprod)
+        lu[:] = jnp.concatenate(
+            [u, jnp.zeros((WI8 - w2, 8), jnp.int32)])
+        x = pk.mul_mod(jnp.concatenate(
+            [x, jnp.zeros((w2 - x.shape[0], 8), jnp.int32)]),
+            lu, 0, w2, hacc0, hacc1, w2)
+        w = w2
+    invT = jnp.concatenate(
+        [x, jnp.zeros((WI8 - x.shape[0], 8), jnp.int32)]).T  # [8, WI8]
+    tzT = ltz[:].T                                           # [H, 1]
+    for t in range(H):
+        k = h_step[0, t]
+
+        @pl.when(k >= 0)
+        def _write_gt():
+            GT[pl.ds(k + 1, 1), :] = invT[t:t + 1, :]
+            TZ[pl.ds(k + 1, 1), :] = jnp.broadcast_to(
+                tzT[t:t + 1, :], (1, 8))
+
+    # ---------------- phases B and C: the two batched passes ----------
+    _pass_body(C1, W8, W8, W8, WN, WI8, E, ev1, val, val,
+               SMT, GT, TZ, gat_t, gat_m, gat_a, gat_b, gat_g, gat_z,
+               scat, (mT1, bT1, iT1, acc0a, acc1a), flag_ref, val,
+               flag_slot=3)
+    _pass_body(C2, W8, W8, W8, WN, WI8, E, ev2, val, val,
+               SMT, GT, TZ, gat_t, gat_m, gat_a, gat_b, gat_g, gat_z,
+               scat, (mT2, bT2, iT2, acc0b, acc1b), flag_ref, val,
+               flag_slot=4)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _fin():
+        lanes = lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        out = jnp.zeros((8, 128), jnp.int32)
+        for fi in range(8):
+            out = jnp.where(lanes == fi, flag_ref[fi], out)
+        flags[:] = out
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n", "E", "W8", "WN", "WI8", "H", "C1", "C2"))
+def factor_fused(n, E, W8, WN, WI8, H, C1, C2,
+                 h_step, h_slot, h_div, ev1, ev2, val_in):
+    """Run the whole factor stream. Returns (val, SMT, GT, TZ, flags)."""
+    nc = h_step.shape[0]
+    E8 = _r8(E + 1)
+    n8 = _r8(n + 2)
+    kern = functools.partial(
+        _factor_kernel, n=n, E=E, W8=W8, WN=WN, WI8=WI8, H=H, C1=C1,
+        C2=C2)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((1, H), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, H), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, H), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, C1, 5), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, C2, 5), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((E8, W8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((E8, W8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n8, W8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n8, WI8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n8, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((C2, W8), jnp.int32),      # gat_t
+            pltpu.VMEM((C2, W8), jnp.int32),      # gat_m
+            pltpu.VMEM((C2, W8), jnp.int32),      # gat_a
+            pltpu.VMEM((C2, W8), jnp.int32),      # gat_b
+            pltpu.VMEM((C2, WI8), jnp.int32),     # gat_g
+            pltpu.VMEM((C2, 8), jnp.int32),       # gat_z
+            pltpu.VMEM((C2, W8), jnp.int32),      # scat
+            pltpu.VMEM((W8, C1), jnp.int32),      # mT1
+            pltpu.VMEM((W8, C1), jnp.int32),      # bT1
+            pltpu.VMEM((WN, C1), jnp.int32),      # iT1
+            pltpu.VMEM((2 * WN + 24, C1), jnp.int32),   # acc0a
+            pltpu.VMEM((2 * WN + 24, C1), jnp.int32),   # acc1a
+            pltpu.VMEM((W8, C2), jnp.int32),      # mT2
+            pltpu.VMEM((W8, C2), jnp.int32),      # bT2
+            pltpu.VMEM((WN, C2), jnp.int32),      # iT2
+            pltpu.VMEM((2 * WN + 24, C2), jnp.int32),   # acc0b
+            pltpu.VMEM((2 * WN + 24, C2), jnp.int32),   # acc1b
+            pltpu.VMEM((W8, 8), jnp.int32),       # hm
+            pltpu.VMEM((WN, 8), jnp.int32),       # hi
+            pltpu.VMEM((2 * WI8 + 24, 8), jnp.int32),   # hacc0
+            pltpu.VMEM((2 * WI8 + 24, 8), jnp.int32),   # hacc1
+            pltpu.VMEM((WI8, 8), jnp.int32),      # ld
+            pltpu.VMEM((WI8, 8), jnp.int32),      # lx
+            pltpu.VMEM((WI8, 8), jnp.int32),      # lu
+            pltpu.VMEM((1, 8), jnp.int32),        # ltz
+            pltpu.SMEM((8,), jnp.int32),          # flag_ref
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((E8, W8), jnp.int32),
+            jax.ShapeDtypeStruct((n8, W8), jnp.int32),
+            jax.ShapeDtypeStruct((n8, WI8), jnp.int32),
+            jax.ShapeDtypeStruct((n8, 8), jnp.int32),
+            jax.ShapeDtypeStruct((8, 128), jnp.int32),
+        ),
+        grid_spec=grid_spec,
+        input_output_aliases={5: 0},
+        interpret=_interpret(),
+    )(h_step, h_slot, h_div, ev1, ev2, val_in)
+
+
+def _solve_kernel(ev1, ev2, val, SMT, GT, TZ, X_in,
+                  X, flags,
+                  gat_t, gat_m, gat_a, gat_b, gat_g, gat_z, scat,
+                  mT1, bT1, iT1, acc0a, acc1a,
+                  mT2, bT2, iT2, acc0b, acc1b, flag_ref,
+                  *, n, E, W8, Ws8, WNS, WI8, C1, C2):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        X[:] = X_in[:]
+        for fi in range(8):
+            flag_ref[fi] = 0
+
+    _pass_body(C1, Ws8, Ws8, W8, WNS, WI8, n, ev1, X, val,
+               SMT, GT, TZ, gat_t, gat_m, gat_a, gat_b, gat_g, gat_z,
+               scat, (mT1, bT1, iT1, acc0a, acc1a), flag_ref, X,
+               flag_slot=3)
+    _pass_body(C2, Ws8, Ws8, W8, WNS, WI8, n, ev2, X, val,
+               SMT, GT, TZ, gat_t, gat_m, gat_a, gat_b, gat_g, gat_z,
+               scat, (mT2, bT2, iT2, acc0b, acc1b), flag_ref, X,
+               flag_slot=4)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _fin():
+        lanes = lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        out = jnp.zeros((8, 128), jnp.int32)
+        for fi in range(8):
+            out = jnp.where(lanes == fi, flag_ref[fi], out)
+        flags[:] = out
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n", "E", "W8", "Ws8", "WNS", "WI8", "C1", "C2"))
+def solve_fused(n, E, W8, Ws8, WNS, WI8, C1, C2,
+                ev1, ev2, val, SMT, GT, TZ, X_in):
+    """Run the solve stream (fwd + det + bwd). Returns (X, flags)."""
+    nc = ev1.shape[0]
+    E8 = val.shape[0]
+    n8 = SMT.shape[0]
+    X8 = _r8(n + 1)
+    kern = functools.partial(
+        _solve_kernel, n=n, E=E, W8=W8, Ws8=Ws8, WNS=WNS, WI8=WI8,
+        C1=C1, C2=C2)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((1, C1, 5), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, C2, 5), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((E8, W8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n8, W8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n8, WI8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n8, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((X8, Ws8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((X8, Ws8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((C2, Ws8), jnp.int32),     # gat_t
+            pltpu.VMEM((C2, W8), jnp.int32),      # gat_m
+            pltpu.VMEM((C2, W8), jnp.int32),      # gat_a
+            pltpu.VMEM((C2, Ws8), jnp.int32),     # gat_b
+            pltpu.VMEM((C2, WI8), jnp.int32),     # gat_g
+            pltpu.VMEM((C2, 8), jnp.int32),       # gat_z
+            pltpu.VMEM((C2, Ws8), jnp.int32),     # scat
+            pltpu.VMEM((W8, C1), jnp.int32),      # mT1
+            pltpu.VMEM((Ws8, C1), jnp.int32),     # bT1
+            pltpu.VMEM((WNS, C1), jnp.int32),     # iT1
+            pltpu.VMEM((2 * WNS + 24, C1), jnp.int32),  # acc0a
+            pltpu.VMEM((2 * WNS + 24, C1), jnp.int32),  # acc1a
+            pltpu.VMEM((W8, C2), jnp.int32),      # mT2
+            pltpu.VMEM((Ws8, C2), jnp.int32),     # bT2
+            pltpu.VMEM((WNS, C2), jnp.int32),     # iT2
+            pltpu.VMEM((2 * WNS + 24, C2), jnp.int32),  # acc0b
+            pltpu.VMEM((2 * WNS + 24, C2), jnp.int32),  # acc1b
+            pltpu.SMEM((8,), jnp.int32),          # flag_ref
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((X8, Ws8), jnp.int32),
+            jax.ShapeDtypeStruct((8, 128), jnp.int32),
+        ),
+        grid_spec=grid_spec,
+        input_output_aliases={6: 0},
+        interpret=_interpret(),
+    )(ev1, ev2, val, SMT, GT, TZ, X_in)
+
+
+# ---------------------------------------------------------------------------
+# host-side packing helpers (two's complement)
+# ---------------------------------------------------------------------------
+
+def ints_to_tc_rows(values, W: int) -> np.ndarray:
+    """Python ints -> [len, W] int32 two's-complement 16-bit limb rows."""
+    out = np.zeros((len(values), W), dtype=np.int32)
+    mod = 1 << (16 * W)
+    for r, v in enumerate(values):
+        u = int(v) % mod
+        b = u.to_bytes(2 * W, "little")
+        out[r] = np.frombuffer(b, dtype="<u2").astype(np.int32)
+    return out
+
+
+def tc_rows_to_ints(rows: np.ndarray) -> list:
+    """[R, W] limb rows -> Python ints (signed)."""
+    R, W = rows.shape
+    half = 1 << (16 * W - 1)
+    mod = 1 << (16 * W)
+    out = []
+    arr = rows.astype(np.uint16)
+    for r in range(R):
+        u = int.from_bytes(arr[r].tobytes(), "little")
+        out.append(u - mod if u >= half else u)
+    return out

@@ -61,19 +61,29 @@ def gather_rows(idx, table):
 
 
 # ------------------------------------------------- probe 2: sublane conv
+# Mosaic: multi-row dynamic sublane offsets must be 8-aligned; single-row
+# dynamic access is fine. So the conv loops over 8-aligned bases with 8
+# static sub-shifts of the multiplicand.
 def conv_kernel(a_ref, b_ref, out_ref, acc_ref):
     Wa, B = a_ref.shape
     Wb = b_ref.shape[0]
     acc_ref[:] = jnp.zeros_like(acc_ref)
-    a = a_ref[:]
+    z = jnp.zeros((8, B), jnp.int32)
+    a_pad = jnp.concatenate([a_ref[:], z], axis=0)     # [Wa+8, B]
 
-    def body(v, _):
-        qv = b_ref[pl.ds(v, 1), :]          # [1, B] dynamic sublane
-        acc_ref[pl.ds(v, Wa), :] += a * qv
-        return 0
+    for s in range(8):                                  # static sub-shift
+        a_s = (jnp.concatenate([z[:s], a_ref[:], z[:8 - s]], axis=0)
+               if s else a_pad)
 
-    jax.lax.fori_loop(0, Wb, body, 0)
-    out_ref[:] = acc_ref[:]
+        def body(m, _):
+            v = 8 * m + s
+            qv = b_ref[pl.ds(v, 1), :]                  # [1, B] single row
+            base = pl.multiple_of(8 * m, 8)
+            acc_ref[pl.ds(base, Wa + 8), :] += a_s * qv
+            return 0
+
+        jax.lax.fori_loop(0, (Wb + 7 - s) // 8, body, 0)
+    out_ref[:] = acc_ref[:out_ref.shape[0]]
 
 
 @jax.jit
@@ -87,7 +97,7 @@ def conv_limbs_T(a, b):
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((D, B), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((D + 16, B), jnp.int32)],
         interpret=interpret(),
     )(a, b)
 
@@ -109,7 +119,7 @@ def transpose(x):
 
 
 # ---------------------------------------------- probe 4: chunk-shaped body
-def chunkish_kernel(idx_ref, table_ref, out_ref, gat_ref, acc_ref):
+def chunkish_kernel(idx_ref, table_ref, out_ref, gat_ref, acc_ref, gt_ref):
     C, Wrow = gat_ref.shape
 
     def gbody(i, _):
@@ -117,15 +127,21 @@ def chunkish_kernel(idx_ref, table_ref, out_ref, gat_ref, acc_ref):
         return 0
 
     jax.lax.fori_loop(0, C, gbody, 0)
-    g = gat_ref[:].T                         # [Wrow, C]
+    gt_ref[:] = gat_ref[:].T                 # [Wrow, C]
+    g = gt_ref[:]
     acc_ref[:] = jnp.zeros_like(acc_ref)
+    z = jnp.zeros((8, C), jnp.int32)
+    for s in range(8):
+        parts = ([z[:s]] if s else []) + [g] + ([z[:8 - s]] if 8 - s else [])
+        g_s = jnp.concatenate(parts, axis=0)
 
-    def cbody(v, _):
-        qv = jax.lax.dynamic_slice(g, (v, 0), (1, C))
-        acc_ref[pl.ds(v, Wrow), :] += g * qv
-        return 0
+        def cbody(m, _):
+            qv = gt_ref[pl.ds(8 * m + s, 1), :]
+            base = pl.multiple_of(8 * m, 8)
+            acc_ref[pl.ds(base, Wrow + 8), :] += g_s * qv
+            return 0
 
-    jax.lax.fori_loop(0, Wrow, cbody, 0)
+        jax.lax.fori_loop(0, (Wrow + 7 - s) // 8, cbody, 0)
     v = acc_ref[:]
     for _ in range(3):
         v = (v & 0xFFFF) + jnp.concatenate(
@@ -150,7 +166,8 @@ def chunkish(idx, table, steps):
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             scratch_shapes=[pltpu.VMEM((C, Wrow), jnp.int32),
-                            pltpu.VMEM((2 * Wrow, C), jnp.int32)],
+                            pltpu.VMEM((2 * Wrow + 16, C), jnp.int32),
+                            pltpu.VMEM((Wrow, C), jnp.int32)],
         ),
         interpret=interpret(),
     )(idx, table)
@@ -167,6 +184,11 @@ def main():
     assert np.array_equal(out, ref), "gather mismatch"
     print("probe1 gather: OK")
 
+    x = jnp.asarray(rng.integers(0, 1 << 30, size=(256, 96)), jnp.int32)
+    out = np.asarray(jax.block_until_ready(transpose(x)))
+    assert np.array_equal(out, np.asarray(x).T), "transpose mismatch"
+    print("probe3 transpose: OK")
+
     a = jnp.asarray(rng.integers(0, 256, size=(96, 256)), jnp.int32)
     b = jnp.asarray(rng.integers(0, 256, size=(96, 256)), jnp.int32)
     out = np.asarray(jax.block_until_ready(conv_limbs_T(a, b)))
@@ -176,11 +198,6 @@ def main():
         refc[v:v + 96, :] += an * bn[v:v + 1, :]
     assert np.array_equal(out, refc.astype(np.int32)), "conv mismatch"
     print("probe2 sublane conv: OK")
-
-    x = jnp.asarray(rng.integers(0, 1 << 30, size=(256, 96)), jnp.int32)
-    out = np.asarray(jax.block_until_ready(transpose(x)))
-    assert np.array_equal(out, np.asarray(x).T), "transpose mismatch"
-    print("probe3 transpose: OK")
 
     for steps in (1, 16, 64):
         f = lambda: jax.block_until_ready(chunkish(idx, table, steps))
