@@ -181,13 +181,19 @@ def sign_extend(x: jnp.ndarray, D: int) -> jnp.ndarray:
 
 
 def trailing_zero_bits(x: jnp.ndarray) -> jnp.ndarray:
-    """[1, B] trailing-zero bit count of residues [D, B] (16*D if 0)."""
+    """[1, B] trailing-zero bit count of residues [D, B] (16*D if 0).
+
+    Prefix-OR by log-step doubling (Mosaic has no cumsum primitive)."""
+    D = x.shape[0]
     nz = (x != 0).astype(jnp.int32)
-    seen = jnp.cumsum(nz, axis=0)
-    first = (seen == 1) & (nz == 1)                  # first nonzero limb
-    low = jnp.sum(jnp.where(first, x, 0), axis=0, keepdims=True)
-    limb_idx = jnp.sum((seen == 0).astype(jnp.int32), axis=0,
-                       keepdims=True)
+    pref = nz                                        # any nz at row <= i
+    dist = 1
+    while dist < D:
+        pref = pref | shift_rows_up(pref, dist)
+        dist *= 2
+    first = nz & ~shift_rows_up(pref, 1)             # first nonzero limb
+    low = jnp.sum(jnp.where(first != 0, x, 0), axis=0, keepdims=True)
+    limb_idx = jnp.sum(1 - pref, axis=0, keepdims=True)
     lowbit = low & -low
     fbits = lax.bitcast_convert_type(lowbit.astype(jnp.float32),
                                      jnp.int32)

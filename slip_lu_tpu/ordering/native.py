@@ -86,14 +86,52 @@ def _call_native(fn_name: str, A: SlipMatrix) -> Optional[np.ndarray]:
     return out
 
 
-def amd_order_best(A: SlipMatrix) -> np.ndarray:
+def _call_approx(fn_name: str, A: SlipMatrix):
+    lib = _load()
+    if lib is None or not hasattr(lib, fn_name):
+        return None
+    n = A.n
+    p = np.ascontiguousarray(A.p, dtype=np.int64)
+    i = np.ascontiguousarray(A.i[: int(A.p[n])], dtype=np.int64)
+    out = np.zeros(n, dtype=np.int64)
+    est = ctypes.c_int64(0)
+    rc = getattr(lib, fn_name)(
+        ctypes.c_int64(A.m), ctypes.c_int64(n),
+        p.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        i.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.byref(est),
+    )
+    if rc != 0:
+        return None
+    return out, int(est.value)
+
+
+def amd_order_best(A: SlipMatrix, want_fill: bool = False):
+    """Approximate minimum degree on the quotient graph (slip_amd.cpp)
+    when the native library is present; Python exact-degree greedy
+    fallback. Reference: AMD/Source/amd_2.c."""
+    res = _call_approx("slip_amd_approx", A)
+    if res is not None:
+        return res if want_fill else res[0]
     q = _call_native("slip_amd_order", A)
-    return q if q is not None else amd_order(A)
+    if q is None:
+        q = amd_order(A)
+    return (q, None) if want_fill else q
 
 
-def colamd_order_best(A: SlipMatrix) -> np.ndarray:
+def colamd_order_best(A: SlipMatrix, want_fill: bool = False):
+    """COLAMD-style column AMD (rows of A become the initial
+    quotient-graph elements, so A'A is never formed; slip_amd.cpp)
+    when the native library is present; Python greedy fallback.
+    Reference: COLAMD/Source/colamd.c (colamd_l)."""
+    res = _call_approx("slip_colamd_approx", A)
+    if res is not None:
+        return res if want_fill else res[0]
     q = _call_native("slip_colamd_order", A)
-    return q if q is not None else colamd_order(A)
+    if q is None:
+        q = colamd_order(A)
+    return (q, None) if want_fill else q
 
 
 def native_available() -> bool:

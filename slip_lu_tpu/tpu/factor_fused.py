@@ -68,12 +68,14 @@ def _signed_terms(pu, x, y, D):
     nx = pk.neg_flag(x)
     ny = pk.neg_flag(y)
     pad = jnp.zeros((max(0, D - Wy), B), jnp.int32)
-    cy = pk.shift_rows_up(jnp.concatenate([y * nx, pad])[:D], Wx)
+    cy = pk.shift_rows_up(pk._cat([y * nx, pad])[:D], Wx)
     pad2 = jnp.zeros((max(0, D - Wx), B), jnp.int32)
-    cx = pk.shift_rows_up(jnp.concatenate([x * ny, pad2])[:D], Wy)
+    cx = pk.shift_rows_up(pk._cat([x * ny, pad2])[:D], Wy)
     neg = cx + cy                                  # per-limb <= 2*MASK16
     if Wx + Wy < D:
-        pos = jnp.zeros((D, B), jnp.int32).at[Wx + Wy].set((nx * ny)[0])
+        pos = pk._cat([
+            jnp.zeros((Wx + Wy, B), jnp.int32), nx * ny,
+            jnp.zeros((D - Wx - Wy - 1, B), jnp.int32)])
     else:
         pos = jnp.zeros((D, B), jnp.int32)
     return pos, neg
@@ -128,7 +130,7 @@ def _pass_body(C, Wt, Wo, W8, WN, WI8, E_dummy,
     shifted = pk.shr_bits(num, tz, W8)
     q = pk.mul_mod(shifted, iT, 0, WN, acc0, acc1, WN)
     ovf = ~pk.fits_in(q, Wo)
-    anyovf = jnp.any(ovf).astype(jnp.int32)
+    anyovf = jnp.max(ovf.astype(jnp.int32))
     flag_ref[1] = flag_ref[1] | anyovf
     flag_ref[flag_slot] = flag_ref[flag_slot] | anyovf
 
@@ -173,12 +175,12 @@ def _factor_kernel(h_step, h_slot, h_div, ev1, ev2, val_in,
     ltz[:] = jnp.zeros_like(ltz)
 
     for t in range(H):
-        k = h_step[0, t]
+        k = h_step[0, 0, t]
 
         @pl.when(k >= 0)
         def _head():
-            slot = h_slot[0, t]
-            dv = h_div[0, t]
+            slot = h_slot[0, 0, t]
+            dv = h_div[0, 0, t]
             dcol = _col_of_row(val[pl.ds(slot, 1), :], W8)      # [W8, 8]
             hm[:] = _col_of_row(SMT[pl.ds(k, 1), :], W8)
             hi[:] = _col_of_row(GT[pl.ds(dv, 1), :], WN)
@@ -190,8 +192,8 @@ def _factor_kernel(h_step, h_slot, h_div, ev1, ev2, val_in,
             shifted = pk.shr_bits(num, tzv, W8)
             rho = pk.mul_mod(shifted, hi, 0, WN, hacc0, hacc1, WN)
             zer = pk.is_zero(rho)                               # [1, 8]
-            flag_ref[0] = flag_ref[0] | zer[0, 0].astype(jnp.int32)
-            hovf = (~pk.fits_in(rho, W8))[0, 0].astype(jnp.int32)
+            flag_ref[0] = flag_ref[0] | zer.astype(jnp.int32)[0, 0]
+            hovf = (~pk.fits_in(rho, W8)).astype(jnp.int32)[0, 0]
             flag_ref[1] = flag_ref[1] | hovf
             flag_ref[2] = flag_ref[2] | hovf
             rho_w = jnp.where(zer, _one_residue(W8, 8), rho[:W8])
@@ -202,7 +204,8 @@ def _factor_kernel(h_step, h_slot, h_div, ev1, ev2, val_in,
             # scratch): odd part + trailing zero count
             tzr = pk.trailing_zero_bits(rho_w)                  # [1, 8]
             odd = pk.shr_bits(pk.sign_extend(rho_w, WI8), tzr, W8)
-            lane = jnp.zeros((1, 8), jnp.int32).at[0, t].set(1)
+            lane = (lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+                    == t).astype(jnp.int32)
             ld[:] = jnp.where(lane != 0, odd[:, 0:1], ld[:])
             ltz[:] = jnp.where(lane != 0, tzr[:, 0:1], ltz[:])
 
@@ -211,21 +214,19 @@ def _factor_kernel(h_step, h_slot, h_div, ev1, ev2, val_in,
     w = 1
     while w < WI8:
         w2 = min(2 * w, WI8)
-        lx[:] = jnp.concatenate(
-            [x, jnp.zeros((WI8 - x.shape[0], 8), jnp.int32)])
+        lx[:] = pk._cat([x, jnp.zeros((WI8 - x.shape[0], 8), jnp.int32)])
         tprod = pk.mul_mod(ld[:w2, :], lx, 0, w, hacc0, hacc1, w2)
         u = pk.two_minus_mod(tprod)
-        lu[:] = jnp.concatenate(
-            [u, jnp.zeros((WI8 - w2, 8), jnp.int32)])
-        x = pk.mul_mod(jnp.concatenate(
-            [x, jnp.zeros((w2 - x.shape[0], 8), jnp.int32)]),
+        lu[:] = pk._cat([u, jnp.zeros((WI8 - w2, 8), jnp.int32)])
+        x = pk.mul_mod(
+            pk._cat([x, jnp.zeros((w2 - x.shape[0], 8), jnp.int32)]),
             lu, 0, w2, hacc0, hacc1, w2)
         w = w2
-    invT = jnp.concatenate(
+    invT = pk._cat(
         [x, jnp.zeros((WI8 - x.shape[0], 8), jnp.int32)]).T  # [8, WI8]
     tzT = ltz[:].T                                           # [H, 1]
     for t in range(H):
-        k = h_step[0, t]
+        k = h_step[0, 0, t]
 
         @pl.when(k >= 0)
         def _write_gt():
@@ -267,11 +268,11 @@ def factor_fused(n, E, W8, WN, WI8, H, C1, C2,
         num_scalar_prefetch=0,
         grid=(nc,),
         in_specs=[
-            pl.BlockSpec((1, H), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, H), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, H), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, H), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, H), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, H), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, C1, 5), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -333,7 +334,8 @@ def factor_fused(n, E, W8, WN, WI8, H, C1, C2,
         grid_spec=grid_spec,
         input_output_aliases={5: 0},
         interpret=_interpret(),
-    )(h_step, h_slot, h_div, ev1, ev2, val_in)
+    )(h_step[:, None, :], h_slot[:, None, :], h_div[:, None, :],
+      ev1, ev2, val_in)
 
 
 def _solve_kernel(ev1, ev2, val, SMT, GT, TZ, X_in,
