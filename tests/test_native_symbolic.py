@@ -36,15 +36,21 @@ def _mats(count=6, nmax=40):
 
 
 def test_native_amd_matches_python():
+    # the LEGACY exact-degree greedy entry point stays bit-identical to
+    # the Python oracle (the default amd_order_best now dispatches to
+    # the approximate-minimum-degree engine, tested separately in
+    # test_ordering_approx.py)
+    from slip_lu_tpu.ordering.native import _call_native
     for A in _mats():
-        q_native = amd_order_best(A)
+        q_native = _call_native("slip_amd_order", A)
         q_py = amd_order(A)
         assert np.array_equal(q_native, q_py), A.n
 
 
 def test_native_colamd_matches_python():
+    from slip_lu_tpu.ordering.native import _call_native
     for A in _mats():
-        q_native = colamd_order_best(A)
+        q_native = _call_native("slip_colamd_order", A)
         q_py = colamd_order(A)
         assert np.array_equal(q_native, q_py), A.n
 
