@@ -116,7 +116,7 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
                 n, E, W8, WN, WI8, heads_per_chunk,
                 pass1_events, pass2_events,
                 h_step, h_slot, h_div, fev1, fev2, jnp.asarray(val_in))
-            Xs = []
+            parts = [fflags[0, :2], SMT_d[n, :]]
             for c in range(nrhs):
                 col = [int(bz.x[int(r[k]), c]) for k in range(n)]
                 xarr = np.zeros((_r8(n + 1), Ws8), dtype=np.int32)
@@ -126,14 +126,20 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
                     pass1_events, pass2_events,
                     sev1, sev2, val_d, SMT_d, GT_d, TZ_d,
                     jnp.asarray(xarr))
-                Xs.append((X_d, sflags))
-            # one synchronizing fetch for everything host-side
-            fetched = jax.device_get(
-                (fflags, SMT_d[n:n + 1], [x for x, _ in Xs],
-                 [f for _, f in Xs]))
-        fflags_h, det_row, X_h, sflags_h = fetched
-        sing = bool(fflags_h[0, 0])
-        ovf = bool(fflags_h[0, 1]) or any(bool(f[0, 1]) for f in sflags_h)
+                parts.append(sflags[0, :2])
+                parts.append(X_d[:n].reshape(-1))
+            # ONE flat device buffer -> ONE host fetch (the tunnel pays
+            # a large per-buffer latency, so never fetch piecemeal)
+            flat = jax.device_get(jnp.concatenate(parts))
+        o = 0
+        fflags_h = flat[o:o + 2]; o += 2
+        det_row = flat[o:o + W8][None, :]; o += W8
+        X_h, sflags_h = [], []
+        for c in range(nrhs):
+            sflags_h.append(flat[o:o + 2]); o += 2
+            X_h.append(flat[o:o + n * Ws8].reshape(n, Ws8)); o += n * Ws8
+        sing = bool(fflags_h[0])
+        ovf = bool(fflags_h[1]) or any(bool(f[1]) for f in sflags_h)
         if ovf and not sing:
             nxt = widen_widths(W, Ws, W_full, Ws_full)
             if nxt is None:
