@@ -13,6 +13,7 @@ from typing import Optional
 
 from .analyze import analyze
 from .convert import matrix_copy
+from .errors import SlipIncorrectInputError
 from .factorize import factorize
 from .matrix import Kind, SlipMatrix, Type
 from .options import Options
@@ -37,7 +38,10 @@ def backslash(A: SlipMatrix, b: SlipMatrix, out_type: Type = Type.MPQ,
       "tpu-sparse" — static-schedule sparse device kernel (transversal +
                      diagonal pivot sequence fixed symbolically;
                      nnz-proportional work, falls back to "tpu" on exact
-                     pivot cancellation).
+                     pivot cancellation),
+      "tpu-fused"  — the same schedule compiled into one Pallas mega-kernel
+                     (two device dispatches per solve; falls back to
+                     "tpu-sparse" on exact pivot cancellation).
     All backends produce bit-identical rationals (the exact solution is
     unique; only internal pivot sequences differ).
     """
@@ -53,7 +57,10 @@ def backslash(A: SlipMatrix, b: SlipMatrix, out_type: Type = Type.MPQ,
     elif backend == "tpu-sparse":
         from .tpu.backslash_sparse import factorize_solve_tpu_sparse
         x_mpq = factorize_solve_tpu_sparse(A2, analysis, b, options)
-    else:
+    elif backend == "tpu-fused":
+        from .tpu.backslash_fused import factorize_solve_tpu_fused
+        x_mpq = factorize_solve_tpu_fused(A2, analysis, b, options)
+    elif backend == "host":
         st = SolveStats(backend="host", n=A2.n, nnz=int(A2.p[A2.n]),
                         nrhs=b.n if b.kind == Kind.DENSE else 1)
         with phase_timer(st, "factorize"):
@@ -61,6 +68,10 @@ def backslash(A: SlipMatrix, b: SlipMatrix, out_type: Type = Type.MPQ,
         with phase_timer(st, "solve"):
             x_mpq = solve(F, b, options)
         record(st)
+    else:
+        raise SlipIncorrectInputError(
+            f"unknown backend={backend!r}, expected 'host', 'tpu', "
+            "'tpu-sparse', or 'tpu-fused'")
     if options.check:
         check_solution(A, x_mpq, b, options)
     return matrix_copy(x_mpq, Kind.DENSE, out_type, options)
