@@ -8,12 +8,13 @@ chip. Integer arithmetic is associative, so every topology produces
 bit-identical factors (asserted in tests/test_sharded.py).
 """
 
-from .shard import make_mesh, pad_to_multiple
+from .shard import make_mesh, make_mesh_2d, pad_to_multiple
 from .factor_shard import factor_dense_limbs_sharded
 from .solve_shard import solve_dense_limbs_sharded
 
 __all__ = [
     "make_mesh",
+    "make_mesh_2d",
     "pad_to_multiple",
     "factor_dense_limbs_sharded",
     "solve_dense_limbs_sharded",

@@ -28,20 +28,24 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import matarith as mt
 from ..tpu.factor_sparse import _signed_fix
-from .shard import ROWS_AXIS
-
-
-def _bcast(x, mask_val):
-    """Replicate the owner's values: psum of owner-masked contributions."""
-    return lax.psum(x * mask_val, ROWS_AXIS)
+from .shard import ROWS_AXIS, mesh_axes
 
 
 def _sparse_local(valS, valM, XS, XM,
                   col_pos, col_hist, tile_pos, tile_hist,
                   row_pos, row_hist, row_valid, diag_pos, diag_hist,
                   fwd_rows, fwd_hist, fwd_xk_hist, bwd_pos, bwd_row,
-                  row_owner_row, *, n: int, p: int):
-    """Per-chip body under shard_map. Leading [1, ...] blocks squeezed."""
+                  row_owner_row, *, n: int, p: int, axes: tuple,
+                  rows_size: int):
+    """Per-chip body under shard_map. Leading [1, ...] blocks squeezed.
+
+    `axes` is the tuple of mesh axis names rows are cyclically spread
+    over (('rows',) or ('dcn', 'rows')); every collective reduces over
+    the whole tuple, so the program is topology-independent bit for bit.
+    """
+    def _bcast(x, mask_val):
+        # replicate the owner's values: psum of owner-masked contributions
+        return lax.psum(x * mask_val, axes)
     squeeze = lambda a: a.reshape(a.shape[1:])
     valS, valM = squeeze(valS), squeeze(valM)
     XS, XM = squeeze(XS), squeeze(XM)
@@ -60,7 +64,9 @@ def _sparse_local(valS, valM, XS, XM,
     Ws = XM.shape[-1]
     W2 = 2 * W + 1
     Wi = max(W2, Ws)
-    dev = lax.axis_index(ROWS_AXIS)
+    dev = lax.axis_index(axes[0])
+    for ax in axes[1:]:
+        dev = dev * rows_size + lax.axis_index(ax)
     one_w = jnp.zeros(W, jnp.int32).at[0].set(1)
 
     signT0 = jnp.zeros(n + 1, jnp.int32).at[0].set(1)
@@ -152,8 +158,8 @@ def _sparse_local(valS, valM, XS, XM,
         xk_fM = jnp.where(owner, xk_fM, 0)
         XS = XS.at[loc].set(jnp.where(owner, xk_fS, XS[loc]))
         XM = XM.at[loc].set(jnp.where(owner, xk_fM, XM[loc]))
-        xk_bS = lax.psum(xk_fS, ROWS_AXIS)
-        xk_bM = lax.psum(xk_fM, ROWS_AXIS)
+        xk_bS = lax.psum(xk_fS, axes)
+        xk_bM = lax.psum(xk_fM, axes)
         # local RHS rows touched by L(:, k)
         riS, riM = XS[frow], XM[frow]
         flat_inv = invT[fhist]
@@ -196,8 +202,8 @@ def _sparse_local(valS, valM, XS, XM,
         owner = (j % p) == dev
         # x[j] <- x[j] / rho_j, computed replicated from a broadcast
         loc = jnp.where(owner, xj_row, nloc)
-        xjS = lax.psum(XS[loc] * owner.astype(jnp.int32), ROWS_AXIS)
-        xjM = lax.psum(XM[loc] * owner.astype(jnp.int32), ROWS_AXIS)
+        xjS = lax.psum(XS[loc] * owner.astype(jnp.int32), axes)
+        xjM = lax.psum(XM[loc] * owner.astype(jnp.int32), axes)
         inv_j = jnp.broadcast_to(invT[j + 1], (nrhs, Wi))
         tz_j = jnp.broadcast_to(tzT[j + 1], (nrhs,))
         qM, bad = mt.divexact_gathered(xjM, inv_j, tz_j, Ws)
@@ -223,10 +229,10 @@ def _sparse_local(valS, valM, XS, XM,
     XS, XM, _, ovf = carry
 
     # --- gather the distributed solution; pack one replicated result buffer
-    sing = lax.psum(sing.astype(jnp.int32), ROWS_AXIS) > 0
-    ovf = lax.psum(ovf.astype(jnp.int32), ROWS_AXIS) > 0
-    x_all_S = lax.all_gather(XS[:nloc], ROWS_AXIS)   # [p, nloc, nrhs]
-    x_all_M = lax.all_gather(XM[:nloc], ROWS_AXIS)
+    sing = lax.psum(sing.astype(jnp.int32), axes) > 0
+    ovf = lax.psum(ovf.astype(jnp.int32), axes) > 0
+    x_all_S = lax.all_gather(XS[:nloc], axes)   # [p, nloc, nrhs]
+    x_all_M = lax.all_gather(XM[:nloc], axes)
     flags = jnp.stack([sing.astype(jnp.int32), ovf.astype(jnp.int32)])
     det_s, det_m = signT[n], magT[n]
     return jnp.concatenate([flags, det_s[None], det_m,
@@ -248,9 +254,12 @@ def factor_solve_sparse_sharded(mesh: Mesh, n: int, p: int,
       [singular, overflow, det_s, det_m (W), XS (p*nloc*nrhs),
        XM (p*nloc*nrhs*Ws)]  — X in chip-major (cyclic) row order.
     """
-    sharded = lambda a: P(ROWS_AXIS, *([None] * (a - 1)))
+    axes = mesh_axes(mesh)
+    rows_size = mesh.devices.shape[-1]
+    sharded = lambda a: P(axes, *([None] * (a - 1)))
     fn = jax.shard_map(
-        functools.partial(_sparse_local, n=n, p=p),
+        functools.partial(_sparse_local, n=n, p=p, axes=axes,
+                          rows_size=rows_size),
         mesh=mesh,
         in_specs=(sharded(2), sharded(3), sharded(3), sharded(4),
                   sharded(3), sharded(3), sharded(4), sharded(4),

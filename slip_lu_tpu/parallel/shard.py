@@ -18,12 +18,36 @@ import jax
 from jax.sharding import Mesh
 
 ROWS_AXIS = "rows"
+DCN_AXIS = "dcn"
 
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     """1-D mesh over all (or the given) devices, axis name 'rows'."""
     devs = list(devices) if devices is not None else jax.devices()
     return Mesh(np.asarray(devs), (ROWS_AXIS,))
+
+
+def make_mesh_2d(devices: Optional[Sequence[jax.Device]] = None,
+                 hosts: int = 1) -> Mesh:
+    """2-D ('dcn', 'rows') mesh: `hosts` groups x chips-per-group.
+
+    The leading axis models the slow inter-host (DCN) dimension; the
+    trailing axis the fast intra-host ICI ring. Row ownership is cyclic
+    over the *flattened* device index (dcn-major), so results are
+    bit-identical to the same device count on a 1-D mesh — only the
+    collective routing changes (XLA reduces within 'rows' over ICI,
+    then across 'dcn' over DCN).
+    """
+    devs = list(devices) if devices is not None else jax.devices()
+    if len(devs) % hosts:
+        raise ValueError(f"{len(devs)} devices not divisible by {hosts} hosts")
+    grid = np.asarray(devs).reshape(hosts, len(devs) // hosts)
+    return Mesh(grid, (DCN_AXIS, ROWS_AXIS))
+
+
+def mesh_axes(mesh: Mesh) -> tuple:
+    """The mesh's device axes as a tuple usable as a collective axis name."""
+    return tuple(mesh.axis_names)
 
 
 def pad_to_multiple(S: np.ndarray, M: np.ndarray, qcols: np.ndarray,

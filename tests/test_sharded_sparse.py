@@ -15,7 +15,7 @@ from slip_lu_tpu.backslash import backslash
 from slip_lu_tpu.convert import matrix_copy
 from slip_lu_tpu.matrix import Kind, SlipMatrix, Type
 from slip_lu_tpu.options import Options, Ordering
-from slip_lu_tpu.parallel import make_mesh
+from slip_lu_tpu.parallel import make_mesh, make_mesh_2d
 from slip_lu_tpu.parallel.driver_sparse import factorize_solve_sharded_sparse
 from slip_lu_tpu.parallel.schedule_shard import shard_schedule
 from slip_lu_tpu.tpu.schedule import build_schedule
@@ -70,6 +70,24 @@ def test_sharded_sparse_cancellation_fallback():
     mesh = make_mesh(jax.devices()[:2])
     x = factorize_solve_sharded_sparse(A, analyze(A, opts), b, mesh, opts)
     _assert_equal(backslash(A, b, Type.MPQ, opts), x)
+
+
+@pytest.mark.parametrize("hosts", [2, 4])
+def test_sharded_sparse_dcn_mesh_parity(hosts):
+    """2-D (dcn, rows) mesh is bit-identical to 1-D with same device count.
+
+    Models the multi-host topology (SURVEY.md §2.10 / BASELINE config 5):
+    the leading 'dcn' axis stands in for the inter-host dimension; row
+    ownership is cyclic over the flattened device index, so only the
+    collective routing differs from the 1-D mesh.
+    """
+    A, b = _system(17, seed=2)
+    opts = Options()
+    x_host = backslash(A, b, Type.MPQ, opts)
+    mesh = make_mesh_2d(jax.devices()[:8], hosts=hosts)
+    x_sh = factorize_solve_sharded_sparse(A, analyze(A, opts), b, mesh,
+                                          opts)
+    _assert_equal(x_host, x_sh)
 
 
 def test_shard_schedule_invariants():
