@@ -24,13 +24,11 @@ from ..errors import SlipIncorrectInputError, SlipLimbOverflowError
 from ..matrix import Kind, SlipMatrix, Type
 from ..options import Options
 from ..ops.limbs import ints_to_limbs, limbs_to_ints, matrix_to_limbs
-from ..tpu.bounds import factor_width, solve_width
+from ..tpu.bounds import factor_width, solve_width, widen_widths
 from ..tpu.schedule import _permute_cols
 from ..tpu.schedule_native import build_schedule_best
 from .factor_sparse_shard import factor_solve_sparse_sharded
 from .schedule_shard import shard_schedule
-
-_MAX_RETRIES = 3
 
 
 def factorize_solve_sharded_sparse(A: SlipMatrix, analysis: Analysis,
@@ -81,13 +79,15 @@ def _try_plan(A, analysis, b, bz, mesh, options, q, fixed_r):
 
     W = factor_width(A, options.max_limbs)
     Ws = solve_width(A, bz.x, W, n, options.max_limbs)
+    W_full = factor_width(A)
+    Ws_full = solve_width(A, bz.x, W_full, n)
     nloc = ss.nloc
     sched_args = tuple(jnp.asarray(a) for a in (
         ss.col_pos, ss.col_hist, ss.tile_pos, ss.tile_hist,
         ss.row_pos, ss.row_hist, ss.row_valid, ss.diag_pos, ss.diag_hist,
         ss.fwd_rows, ss.fwd_hist, ss.fwd_xk_hist.astype(np.int32),
         ss.bwd_pos, ss.bwd_row, ss.row_owner_row))
-    for attempt in range(_MAX_RETRIES):
+    while True:
         aS, aM = ints_to_limbs(avals, W)
         valS = np.zeros((p, ss.e_loc + 1), dtype=np.int32)
         valM = np.zeros((p, ss.e_loc + 1, W), dtype=np.int32)
@@ -111,12 +111,20 @@ def _try_plan(A, analysis, b, bz, mesh, options, q, fixed_r):
         XS = buf[o:o + p * nloc * nrhs].reshape(p, nloc, nrhs)
         o += p * nloc * nrhs
         XM = buf[o:].reshape(p, nloc, nrhs, Ws)
+        # overflow first (truncation can fake a zero pivot), but at the
+        # analytic bound a set sing flag is the true cause — the garbage
+        # past an exactly-cancelled pivot legitimately fakes overflow
+        if ovf:
+            nxt = widen_widths(W, Ws, W_full, Ws_full)
+            if nxt is not None:
+                W, Ws = nxt
+                continue
+            if not sing:
+                raise SlipLimbOverflowError(
+                    "sharded sparse overflow persists at the analytic "
+                    f"width bound (W={W}, Ws={Ws}) — invariant violated")
         if sing:
             return None          # caller replans around the oracle pivots
-        if ovf:
-            W *= 2
-            Ws = max(2 * Ws, 2 * W + 2)
-            continue
         det = int(limbs_to_ints(det_s.reshape(1), det_m[None, :])[0])
         factor = A.scale / bz.scale
         x = SlipMatrix.allocate(Kind.DENSE, Type.MPQ, n, nrhs)
@@ -129,6 +137,3 @@ def _try_plan(A, analysis, b, bz, mesh, options, q, fixed_r):
                 v = int(xhat[k % p, k // p, c])
                 x.x[oc, c] = Fraction(v, det) * factor
         return x
-    raise SlipLimbOverflowError(
-        f"sharded sparse solve exceeded limb budget after "
-        f"{_MAX_RETRIES} widenings")

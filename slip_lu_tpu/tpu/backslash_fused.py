@@ -43,7 +43,7 @@ from .schedule_native import build_schedule_best
 from .schedule_stream import build_event_stream
 
 
-def _stream_arrays(es, H, C1, C2):
+def _stream_arrays(es):
     f, s = es.factor, es.solve
     return (
         jnp.asarray(f.h_step), jnp.asarray(f.h_slot),
@@ -75,14 +75,16 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
 
     with phase_timer(st, "schedule"):
         cache = getattr(analysis, "fused_cache", None)
-        key = (heads_per_chunk, pass1_events, pass2_events)
+        fixed_r = analysis.sparse_fixed_r
+        key = (heads_per_chunk, pass1_events, pass2_events,
+               None if fixed_r is None else fixed_r.tobytes())
         if cache is not None and cache[0] == key:
             sched, r, es, dev_streams = cache[1]
         else:
-            sched, r = build_schedule_best(A, q, analysis.sparse_fixed_r)
+            sched, r = build_schedule_best(A, q, fixed_r)
             es = build_event_stream(sched, heads_per_chunk,
                                     pass1_events, pass2_events)
-            dev_streams = _stream_arrays(es, *key)
+            dev_streams = _stream_arrays(es)
             analysis.fused_cache = (key, (sched, r, es, dev_streams))
     st.lnz, st.unz = es.lnz, es.unz
     (h_step, h_slot, h_div, fev1, fev2, sev1, sev2) = dev_streams

@@ -107,15 +107,20 @@ def factorize_solve_tpu_sparse(A: SlipMatrix, analysis: Analysis,
                     jax.device_get(out), n, nrhs, W, Ws)
             # overflow first: a truncated quotient can have all-zero low
             # limbs, so a width overflow can masquerade as a zero pivot —
-            # widen and retry before trusting the singular flag
+            # widen and retry before trusting the singular flag. The
+            # converse also holds: past an exact cancellation the kernel
+            # pins rho=1 and propagates garbage, so a genuine singular
+            # flag fakes overflow — at the analytic bound (where real
+            # overflow is impossible) trust sing and replan.
             if ovf:
                 nxt = widen_widths(W, Ws, W_full, Ws_full)
-                if nxt is None:
+                if nxt is not None:
+                    W, Ws = nxt
+                    continue
+                if not sing:
                     raise SlipLimbOverflowError(
                         "overflow persists at the analytic width bound "
                         f"(W={W}, Ws={Ws}) — internal invariant violated")
-                W, Ws = nxt
-                continue
             if sing:
                 break
             with phase_timer(st, "unpack"):
@@ -301,9 +306,11 @@ def factorize_solve_tpu_events(A: SlipMatrix, analysis: Analysis,
             n, es.nnz, W, Wi, jnp.asarray(val),
             jnp.asarray(es.f_kind), jnp.asarray(es.f_step),
             jnp.asarray(es.f_ev))
-        if bool(ovf):
+        if bool(ovf) and not bool(sing):
             # overflow before singular: truncated values can fake a zero
-            # pivot, so widen first and only then trust the flag
+            # pivot, so widen first and only then trust the flag (when
+            # sing is ALSO set, the overflow may itself be garbage from
+            # the cancelled pivot — let the padded path replan instead)
             W, Ws = _widen(W, Ws)
             continue
         if bool(sing):

@@ -76,9 +76,14 @@ def factor_tpu(A: SlipMatrix, analysis: Analysis,
             S, M, jnp.asarray(q, dtype=jnp.int32), int(options.pivot),
             jnp.asarray(tol_mag), tol_shift)
         # overflow first (see factorize_solve_tpu): truncation can fake a
-        # zero pivot, so widen before trusting the singular flag
+        # zero pivot, so widen before trusting the singular flag — but at
+        # the analytic bound real overflow is impossible, so a set sing
+        # flag there is the true cause (garbage past the missing pivot)
         if bool(overflow):
             if W >= W_full:
+                if bool(singular):
+                    raise SlipSingularError(
+                        "device factorization found no eligible pivot")
                 raise SlipLimbOverflowError(
                     "overflow persists at the analytic width bound "
                     f"(W={W}) — internal invariant violated")
@@ -149,6 +154,11 @@ def factorize_solve_tpu(A: SlipMatrix, analysis: Analysis, b: SlipMatrix,
         if bool(f_ovf) or bool(s_ovf):
             nxt = widen_widths(W, Ws, W_full, Ws_full)
             if nxt is None:
+                if bool(singular):
+                    # at the analytic bound overflow is garbage past the
+                    # missing pivot — singular is the true cause
+                    raise SlipSingularError(
+                        "device factorization found no eligible pivot")
                 raise SlipLimbOverflowError(
                     "overflow persists at the analytic width bound "
                     f"(W={W}, Ws={Ws}) — internal invariant violated")
