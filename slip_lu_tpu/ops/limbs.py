@@ -27,9 +27,32 @@ def ints_to_limbs(values: Iterable[int], W: int) -> Tuple[np.ndarray, np.ndarray
 
     Raises OverflowError if any |value| needs more than W limbs — callers
     choose W from the IPGE bit-growth bound (slip_lu_tpu.tpu.bounds).
+    Values within int64 range take a vectorized numpy path (the common
+    case when packing input matrices at corpus scale); anything wider
+    falls back to exact per-entry conversion.
     """
     vals = list(values)
     n = len(vals)
+    a64 = None
+    try:
+        a64 = np.array(vals, dtype=np.int64)
+    except (OverflowError, TypeError):
+        pass
+    if a64 is not None and (n == 0
+                            or int(a64.min()) != np.iinfo(np.int64).min):
+        sign = np.sign(a64).astype(np.int32)
+        mag = np.zeros((n, W), dtype=np.int32)
+        if n:
+            a = np.abs(a64).astype(np.uint64)
+            hi = int(a.max(initial=0)).bit_length()
+            if hi > 16 * W:
+                raise OverflowError(f"value needs more than W={W} limbs "
+                                    f"({hi} bits)")
+            k = min(W, 4)
+            shifts = (16 * np.arange(k, dtype=np.uint64))[None, :]
+            mag[:, :k] = ((a[:, None] >> shifts)
+                          & np.uint64(0xFFFF)).astype(np.int32)
+        return sign, mag
     sign = np.zeros(n, dtype=np.int32)
     buf = np.zeros((n, 2 * W), dtype=np.uint8)
     for k, v in enumerate(vals):
@@ -56,6 +79,16 @@ def limbs_to_ints(sign: np.ndarray, mag: np.ndarray) -> np.ndarray:
     W = mag.shape[-1]
     flat_s = sign.reshape(-1)
     flat_m = mag.reshape(-1, W)
+    # vectorized path: magnitudes that fit in 3 limbs (< 2**48) combine
+    # exactly inside int64
+    sig = min(W, 3)
+    if W <= 3 or not flat_m[:, 3:].any():
+        u = np.zeros(flat_m.shape[0], dtype=np.int64)
+        for k in range(sig):
+            u |= flat_m[:, k].astype(np.int64) << (16 * k)
+        out = np.empty(flat_m.shape[0], dtype=object)
+        out[:] = (flat_s.astype(np.int64) * u).tolist()
+        return out.reshape(sign.shape)
     buf = np.empty((flat_m.shape[0], 2 * W), dtype=np.uint8)
     buf[:, 0::2] = flat_m & 0xFF
     buf[:, 1::2] = (flat_m >> 8) & 0xFF

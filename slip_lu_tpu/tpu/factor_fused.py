@@ -445,8 +445,25 @@ def solve_fused(n, E, W8, Ws8, WNS, WI8, C1, C2,
 # ---------------------------------------------------------------------------
 
 def ints_to_tc_rows(values, W: int) -> np.ndarray:
-    """Python ints -> [len, W] int32 two's-complement 16-bit limb rows."""
+    """Python ints -> [len, W] int32 two's-complement 16-bit limb rows.
+
+    int64-range values take a vectorized path (arithmetic right shift
+    produces exactly the two's-complement limbs; limbs above bit 63 are
+    the sign fill) — the per-entry loop only runs for wider ints.
+    """
     out = np.zeros((len(values), W), dtype=np.int32)
+    try:
+        a64 = np.array(values, dtype=np.int64)
+    except (OverflowError, TypeError):
+        a64 = None
+    if a64 is not None:
+        if len(values):
+            k = min(W, 4)
+            shifts = (16 * np.arange(k, dtype=np.int64))[None, :]
+            out[:, :k] = ((a64[:, None] >> shifts) & 0xFFFF).astype(np.int32)
+            if W > 4:
+                out[:, 4:] = np.where(a64[:, None] < 0, 0xFFFF, 0)
+        return out
     mod = 1 << (16 * W)
     for r, v in enumerate(values):
         u = int(v) % mod
@@ -458,10 +475,20 @@ def ints_to_tc_rows(values, W: int) -> np.ndarray:
 def tc_rows_to_ints(rows: np.ndarray) -> list:
     """[R, W] limb rows -> Python ints (signed)."""
     R, W = rows.shape
+    arr = rows.astype(np.uint16)
+    # vectorized path: rows whose payload fits in int64 (all limbs above
+    # the third are pure sign fill) combine exactly inside int64
+    if W >= 4:
+        neg = arr[:, 3] >= 0x8000
+        fill = np.where(neg, 0xFFFF, 0).astype(np.uint16)
+        if W == 4 or bool((arr[:, 4:] == fill[:, None]).all()):
+            u = np.zeros(R, dtype=np.uint64)
+            for k in range(4):
+                u |= arr[:, k].astype(np.uint64) << (16 * k)
+            return u.astype(np.int64).tolist()
     half = 1 << (16 * W - 1)
     mod = 1 << (16 * W)
     out = []
-    arr = rows.astype(np.uint16)
     for r in range(R):
         u = int.from_bytes(arr[r].tobytes(), "little")
         out.append(u - mod if u >= half else u)
