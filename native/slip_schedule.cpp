@@ -41,15 +41,32 @@ struct Schedule {
 };
 
 // Maximum bipartite matching, iterative augmenting DFS in CSC order —
-// mirrors schedule.py::max_transversal exactly.
+// mirrors schedule.py::max_transversal exactly. `prefer` (optional,
+// length n) gives a preferred row per column (the true diagonal under
+// the fill ordering) claimed in a first pass — without it the matching
+// drifts off-diagonal and symbolic fill explodes on matrices whose
+// natural pivots ARE the diagonal (the common case after AMD/COLAMD).
 bool transversal(int64_t n, const std::vector<std::vector<int64_t>>& rows_of_col,
-                 std::vector<int64_t>& match_col) {
+                 std::vector<int64_t>& match_col, const int64_t* prefer) {
     std::vector<int64_t> match_row(n, -1);
     match_col.assign(n, -1);
+    if (prefer) {
+        for (int64_t c = 0; c < n; ++c) {
+            int64_t pr = prefer[c];
+            if (pr < 0 || pr >= n || match_row[pr] >= 0) continue;
+            for (int64_t r2 : rows_of_col[c])
+                if (r2 == pr) {
+                    match_row[pr] = c;
+                    match_col[c] = pr;
+                    break;
+                }
+        }
+    }
     // iterative DFS with explicit stack replicating the recursive order
     std::vector<int64_t> stack_col, stack_ri;
     std::vector<char> seen(n, 0);
     for (int64_t c0 = 0; c0 < n; ++c0) {
+        if (match_col[c0] >= 0) continue;
         std::fill(seen.begin(), seen.end(), 0);
         stack_col.assign(1, c0);
         stack_ri.assign(1, 0);
@@ -120,7 +137,7 @@ void* slip_schedule_build(int64_t m, int64_t n, const int64_t* p,
         // pinned pivot-row sequence (cancellation repair): pivots come
         // from a successful numeric factorization, no matching needed
         r.assign(fixed_r, fixed_r + n);
-    } else if (!transversal(n, rows_of_col, r)) {
+    } else if (!transversal(n, rows_of_col, r, q)) {
         S->singular = true;
         return S;
     }

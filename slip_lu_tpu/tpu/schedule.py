@@ -36,11 +36,16 @@ from ..errors import SlipIncorrectInputError, SlipSingularError
 from ..matrix import Kind, SlipMatrix
 
 
-def max_transversal(A: SlipMatrix) -> np.ndarray:
+def max_transversal(A: SlipMatrix,
+                    prefer: Optional[np.ndarray] = None) -> np.ndarray:
     """Row permutation r with A[r[j], j] != 0 for all j (maximum matching).
 
     Augmenting-path bipartite matching (the role of a zero-free diagonal
     pass; the reference relies on the user's matrix/pivoting instead).
+    `prefer` (optional, length n) names a preferred row per column — the
+    true diagonal under the fill ordering — claimed in a first pass;
+    without it the matching drifts off-diagonal and symbolic fill
+    explodes on matrices whose natural pivots ARE the diagonal.
     Raises SlipSingularError if the matrix is structurally singular.
     """
     if A.kind != Kind.CSC:
@@ -55,6 +60,12 @@ def max_transversal(A: SlipMatrix) -> np.ndarray:
     ]
     match_row = np.full(n, -1, dtype=np.int64)   # row -> col
     match_col = np.full(n, -1, dtype=np.int64)   # col -> row
+    if prefer is not None:
+        for c in range(n):
+            pr = int(prefer[c])
+            if 0 <= pr < n and match_row[pr] < 0 and pr in rows_of_col[c]:
+                match_row[pr] = c
+                match_col[c] = pr
 
     def augment(c: int, seen: np.ndarray) -> bool:
         for r in rows_of_col[c]:
@@ -71,6 +82,8 @@ def max_transversal(A: SlipMatrix) -> np.ndarray:
     sys.setrecursionlimit(max(old_limit, 2 * n + 100))
     try:
         for c in range(n):
+            if match_col[c] >= 0:
+                continue
             if not augment(c, np.zeros(n, dtype=bool)):
                 raise SlipSingularError(
                     "matrix is structurally singular (no full transversal)")
@@ -131,7 +144,7 @@ def build_schedule(A: SlipMatrix, q: np.ndarray,
     # permuted pattern B = A[r][:, q] with nonzero diagonal
     Aq = _permute_cols(A, q)
     r = (np.asarray(fixed_r, dtype=np.int64) if fixed_r is not None
-         else max_transversal(Aq))
+         else max_transversal(Aq, prefer=q))
     rinv = np.empty(n, dtype=np.int64)
     rinv[r] = np.arange(n)
     # pattern[j] = set of rows of column j of B
