@@ -440,6 +440,44 @@ def solve_fused(n, E, W8, Ws8, WNS, WI8, C1, C2,
     )(ev1, ev2, val, SMT, GT, TZ, X_in)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "n", "E", "W8", "Ws8", "WN", "WNS", "WI8", "H", "C1", "C2"))
+def fused_solve_all(n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2,
+                    h_step, h_slot, h_div, fev1, fev2, sev1, sev2,
+                    val_in, b_rows):
+    """ONE XLA program for the whole exact solve: factor stream, every
+    RHS solve stream, and a single flat int32 result vector
+
+        [fsing, fovf, det(W8), then per rhs: ssing, sovf, X(n*Ws8)].
+
+    The tunnel to the chip charges a fixed ~45 ms for every host sync
+    (measured; see ROADMAP), so the entire solve must be one dispatch +
+    one fetch: b ships as a narrow [nrhs, n, Wb] argument (args ride the
+    execute call for free), is sign-extended to Ws8 on device, and only
+    the flat vector comes back.
+    """
+    val_d, SMT_d, GT_d, TZ_d, fflags = factor_fused(
+        n, E, W8, WN, WI8, H, C1, C2, h_step, h_slot, h_div,
+        fev1, fev2, val_in)
+    parts = [fflags[0, :2], SMT_d[n, :]]
+    X8 = _r8(n + 1)
+    nrhs, _, Wb = b_rows.shape
+    for c in range(nrhs):
+        col = b_rows[c]
+        if Wb < Ws8:
+            fill = jnp.where(col[:, Wb - 1:Wb] >= 0x8000, 0xFFFF, 0)
+            col = jnp.concatenate(
+                [col, jnp.broadcast_to(fill, (col.shape[0], Ws8 - Wb))],
+                axis=1)
+        xarr = jnp.zeros((X8, Ws8), jnp.int32).at[:n].set(col)
+        X_d, sflags = solve_fused(
+            n, E, W8, Ws8, WNS, WI8, C1, C2, sev1, sev2,
+            val_d, SMT_d, GT_d, TZ_d, xarr)
+        parts.append(sflags[0, :2])
+        parts.append(X_d[:n].reshape(-1))
+    return jnp.concatenate(parts)
+
+
 # ---------------------------------------------------------------------------
 # host-side packing helpers (two's complement)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,73 @@
+"""Time the fused Pallas sparse path vs padded-sparse vs host oracle on
+one matrix, with per-phase breakdown. ONE matrix per process (tunnel).
+
+Usage: python tools/time_fused.py <name> [backends...]
+  name: corpus stem, e.g. grid16, grid24, tri1000, uni10k
+  backends: any of host, sparse, fused  (default: host fused)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+name = sys.argv[1] if len(sys.argv) > 1 else "grid16"
+which = sys.argv[2:] or ["host", "fused"]
+
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+from slip_lu_tpu.analyze import analyze
+from slip_lu_tpu.backslash import backslash
+from slip_lu_tpu.convert import matrix_copy
+from slip_lu_tpu.io import read_dense, read_triplet
+from slip_lu_tpu.matrix import Kind, Type
+from slip_lu_tpu.options import Options
+from slip_lu_tpu.stats import last_stats
+
+A = matrix_copy(read_triplet(f"data/ExampleMats/{name}_mat.txt"),
+                Kind.CSC, Type.MPZ)
+b = read_dense(f"data/ExampleMats/{name}_v.txt")
+nnz = int(A.p[A.n])
+print(f"{name}: n={A.n} nnz={nnz}", flush=True)
+opts = Options()
+ana = analyze(A, opts)
+
+x_ref = None
+REPS = int(os.environ.get("REPS", "3"))
+
+if "host" in which:
+    t0 = time.perf_counter()
+    x_ref = backslash(A, b, Type.MPQ, opts)
+    host_s = time.perf_counter() - t0
+    print(f"host oracle: {host_s*1e3:.1f} ms  ({nnz/host_s:,.0f} nnz/s)",
+          flush=True)
+
+for bk in which:
+    if bk == "host":
+        continue
+    if bk == "fused":
+        from slip_lu_tpu.tpu.backslash_fused import factorize_solve_tpu_fused
+        run = factorize_solve_tpu_fused
+    elif bk == "sparse":
+        from slip_lu_tpu.tpu.backslash_sparse import factorize_solve_tpu_sparse
+        run = factorize_solve_tpu_sparse
+    else:
+        raise SystemExit(f"unknown backend {bk}")
+    t0 = time.perf_counter()
+    x = run(A, ana, b, opts)      # cold: schedule + compile + run
+    cold = time.perf_counter() - t0
+    if x_ref is not None:
+        for i in range(A.n):
+            assert x.x[i, 0] == x_ref.x[i, 0], i
+        print(f"{bk}: parity OK", flush=True)
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        x = run(A, ana, b, opts)
+    warm = (time.perf_counter() - t0) / REPS
+    print(f"{bk}: cold {cold:.2f} s, warm {warm*1e3:.1f} ms "
+          f"({nnz/warm:,.0f} nnz/s)", flush=True)
+    print(last_stats().summary(), flush=True)
