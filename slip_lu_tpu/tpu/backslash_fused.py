@@ -1,17 +1,19 @@
 """Host glue for the fused (Pallas mega-kernel) sparse path.
 
-Pipeline, mirroring backslash_sparse.py but with two device dispatches
-per solve (factor stream, solve stream) instead of ~10 XLA ops per
-elimination step:
+Pipeline, mirroring backslash_sparse.py but with ONE device dispatch
+and ONE fetch per solve instead of ~10 XLA ops per elimination step
+(the tunnel charges ~45 ms per host sync regardless of size, so round
+trips — not FLOPs — set the small-matrix floor):
 
   1. ordering q + transversal r, symbolic elimination (schedule.py),
      uniform-event chunk streams (schedule_stream.py) — all reusable
-     per matrix;
-  2. pack A's values as two's-complement limb rows, upload once;
-  3. factor_fused -> val/SMT/GT/TZ stay on device; solve_fused replays
-     fwd + det + bwd against them;
-  4. ONE device->host fetch (X, det row, flags ride separate small
-     arrays but are fetched together via jax.device_get's single call);
+     per matrix, cached on the Analysis as device buffers;
+  2. pack A's values as two's-complement limb rows, upload once per
+     (analysis, W) and cache the device buffer;
+  3. fused_solve_all: one XLA program runs the factor stream
+     (factor_fused) and every RHS solve stream (solve_fused) back to
+     back on device, b riding the execute call as a narrow argument;
+  4. ONE device->host fetch of a flat int32 vector (flags, det, X);
   5. widen-and-retry on overflow, replan/fallback on cancellation,
      exactly like the padded path.
 
@@ -22,6 +24,7 @@ DIAGONAL pivots on B = A[r][:, q]).
 from __future__ import annotations
 
 from fractions import Fraction
+from math import gcd
 from typing import Optional
 
 import numpy as np
@@ -35,8 +38,9 @@ from ..errors import SlipIncorrectInputError, SlipLimbOverflowError
 from ..matrix import Kind, SlipMatrix, Type
 from ..options import Options
 from ..stats import SolveStats, phase_timer, record
-from .bounds import factor_width, solve_width, widen_widths
-from .factor_fused import (factor_fused, ints_to_tc_rows, solve_fused,
+from .bounds import (_input_width, factor_width, hadamard_bits,
+                     solve_width)
+from .factor_fused import (fused_solve_all, ints_to_tc_rows,
                            tc_rows_to_ints, _r8)
 from .schedule import _permute_cols
 from .schedule_native import build_schedule_best
@@ -50,6 +54,32 @@ def _stream_arrays(es):
         jnp.asarray(f.h_div), jnp.asarray(f.ev1), jnp.asarray(f.ev2),
         jnp.asarray(s.ev1), jnp.asarray(s.ev2),
     )
+
+
+def _mpq(num: int, den: int) -> Fraction:
+    """Canonical Fraction without the pure-Python Fraction() overhead
+    (the reference's mpq_canonicalize; math.gcd runs at C speed)."""
+    if den < 0:
+        num, den = -num, -den
+    g = gcd(num, den)
+    if g > 1:
+        num //= g
+        den //= g
+    f = Fraction.__new__(Fraction)
+    f._numerator = num
+    f._denominator = den
+    return f
+
+
+def _tc_width(values, cap: int) -> int:
+    """Smallest limb count whose two's complement holds every value
+    exactly (sign bit included), clamped to [1, cap]."""
+    bits = 1
+    for v in values:
+        b = (v if v >= 0 else ~v).bit_length() + 1
+        if b > bits:
+            bits = b
+    return max(1, min(cap, -(-bits // 16)))
 
 
 def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
@@ -79,24 +109,52 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
         key = (heads_per_chunk, pass1_events, pass2_events,
                None if fixed_r is None else fixed_r.tobytes())
         if cache is not None and cache[0] == key:
-            sched, r, es, dev_streams = cache[1]
+            sched, r, es, dev_streams, avals = cache[1]
         else:
             sched, r = build_schedule_best(A, q, fixed_r)
             es = build_event_stream(sched, heads_per_chunk,
                                     pass1_events, pass2_events)
             dev_streams = _stream_arrays(es)
-            analysis.fused_cache = (key, (sched, r, es, dev_streams))
+            Aq = _permute_cols(A, q)
+            avals = [int(Aq.x[idx]) for c in range(n)
+                     for idx in range(int(Aq.p[c]), int(Aq.p[c + 1]))]
+            analysis.fused_cache = (key, (sched, r, es, dev_streams,
+                                          avals))
     st.lnz, st.unz = es.lnz, es.unz
     (h_step, h_slot, h_div, fev1, fev2, sev1, sev2) = dev_streams
     E = es.nnz
 
-    Aq = _permute_cols(A, q)
-    avals = [int(Aq.x[idx]) for c in range(n)
-             for idx in range(int(Aq.p[c]), int(Aq.p[c + 1]))]
-    W = factor_width(A, options.max_limbs)
-    Ws = solve_width(A, bz.x, W, n, options.max_limbs)
-    W_full = factor_width(A)
-    Ws_full = solve_width(A, bz.x, W_full, n)
+    # --- width strategy: optimistic start + sound widen-and-retry ------
+    # The analytic Hadamard bound (W_full) is often 4-40x wider than the
+    # entries the factorization actually produces (tridiagonal/banded/
+    # unimodular matrices especially). Every value the kernel WRITES is
+    # overflow-checked at a modulus where the true quotient provably
+    # fits (ops/pallas_limbs.py), and every value it READS was either so
+    # checked or packed on host at a width verified below — so starting
+    # far below the bound is sound: an undersized width costs a retry,
+    # never a wrong answer. The converged widths are cached on the
+    # Analysis, so warm solves pay the optimal width immediately.
+    hbits = getattr(analysis, "hadamard_bits_cache", None)
+    if hbits is None:
+        hbits = hadamard_bits(A)
+        analysis.hadamard_bits_cache = hbits
+    W_full = factor_width(A, hbits=hbits)
+    Ws_full = solve_width(A, bz.x, W_full, n, hbits=hbits)
+    W_in = _input_width(avals)
+    Wb_in = _input_width(bz.x.reshape(-1))
+    if options.max_limbs is not None:
+        # explicit user clamp: honor it exactly (reference semantics)
+        W = factor_width(A, options.max_limbs, hbits=hbits)
+        Ws = solve_width(A, bz.x, W, n, options.max_limbs, hbits=hbits)
+    else:
+        wcache = getattr(analysis, "fused_width_cache", None)
+        if wcache is not None:
+            W, Ws = wcache
+            W = min(max(W, W_in), W_full)
+            Ws = min(max(Ws, W + 1, Wb_in), Ws_full)
+        else:
+            W = min(max(2, W_in + 1, -(-W_full // 16)), W_full)
+            Ws = min(max(W + 1, Wb_in + 1, -(-Ws_full // 16)), Ws_full)
 
     while True:
         W8 = _r8(W)
@@ -106,33 +164,31 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
         WI8 = max(WN, WNS)
         st.W, st.Ws = W8, Ws8
         with phase_timer(st, "pack"):
-            val_in = np.zeros((_r8(E + 1), W8), dtype=np.int32)
-            val_in[:0] = 0
-            rows = ints_to_tc_rows(avals, W8)
-            val_in[np.asarray(es.init_pos)] = rows
-            xb = np.zeros((_r8(n + 1), Ws8), dtype=np.int32)
-            bcol = [int(bz.x[int(r[k]), 0]) for k in range(n)]
-            # (multi-RHS handled below by per-column solve dispatches)
+            # A's limb table is per-(analysis, W): upload once, reuse
+            # the device buffer across solves (fused_solve_all never
+            # donates its val argument)
+            vkey = (key, W8)
+            vcache = getattr(analysis, "fused_val_cache", None)
+            if vcache is not None and vcache[0] == vkey:
+                val_dev = vcache[1]
+            else:
+                val_in = np.zeros((_r8(E + 1), W8), dtype=np.int32)
+                val_in[np.asarray(es.init_pos)] = ints_to_tc_rows(
+                    avals, W8)
+                val_dev = jnp.asarray(val_in)
+                analysis.fused_val_cache = (vkey, val_dev)
+            bcols = [[int(bz.x[int(r[k]), c]) for k in range(n)]
+                     for c in range(nrhs)]
+            Wb = _tc_width((v for col in bcols for v in col), Ws8)
+            b_rows = np.stack([ints_to_tc_rows(col, Wb) for col in bcols])
         with phase_timer(st, "device"):
-            val_d, SMT_d, GT_d, TZ_d, fflags = factor_fused(
-                n, E, W8, WN, WI8, heads_per_chunk,
+            # ONE dispatch, ONE fetch (the tunnel pays a fixed ~45 ms
+            # per host sync, so never dispatch or fetch piecemeal)
+            flat = np.asarray(jax.device_get(fused_solve_all(
+                n, E, W8, Ws8, WN, WNS, WI8, heads_per_chunk,
                 pass1_events, pass2_events,
-                h_step, h_slot, h_div, fev1, fev2, jnp.asarray(val_in))
-            parts = [fflags[0, :2], SMT_d[n, :]]
-            for c in range(nrhs):
-                col = [int(bz.x[int(r[k]), c]) for k in range(n)]
-                xarr = np.zeros((_r8(n + 1), Ws8), dtype=np.int32)
-                xarr[:n] = ints_to_tc_rows(col, Ws8)
-                X_d, sflags = solve_fused(
-                    n, E, W8, Ws8, WNS, WI8,
-                    pass1_events, pass2_events,
-                    sev1, sev2, val_d, SMT_d, GT_d, TZ_d,
-                    jnp.asarray(xarr))
-                parts.append(sflags[0, :2])
-                parts.append(X_d[:n].reshape(-1))
-            # ONE flat device buffer -> ONE host fetch (the tunnel pays
-            # a large per-buffer latency, so never fetch piecemeal)
-            flat = jax.device_get(jnp.concatenate(parts))
+                h_step, h_slot, h_div, fev1, fev2, sev1, sev2,
+                val_dev, jnp.asarray(b_rows))))
         o = 0
         fflags_h = flat[o:o + 2]; o += 2
         det_row = flat[o:o + W8][None, :]; o += W8
@@ -141,16 +197,28 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
             sflags_h.append(flat[o:o + 2]); o += 2
             X_h.append(flat[o:o + n * Ws8].reshape(n, Ws8)); o += n * Ws8
         sing = bool(fflags_h[0])
-        ovf = bool(fflags_h[1]) or any(bool(f[1]) for f in sflags_h)
-        if ovf and not sing:
-            nxt = widen_widths(W, Ws, W_full, Ws_full)
-            if nxt is None:
+        f_ovf = bool(fflags_h[1])
+        s_ovf = any(bool(f[1]) for f in sflags_h)
+        if f_ovf or s_ovf:
+            # overflow outranks every other flag: past the first wrapped
+            # write, later values (including "zero pivots") are garbage.
+            # Widen only the stream that overflowed — when the factor
+            # overflowed, the solve flags are unreliable, so leave Ws.
+            W2, Ws2 = W, Ws
+            if f_ovf:
+                W2 = min(2 * W, W_full)
+            elif s_ovf:
+                Ws2 = min(2 * Ws, Ws_full)
+            Ws2 = max(Ws2, W2 + 1)
+            if (W2, Ws2) == (W, Ws):
                 raise SlipLimbOverflowError(
                     "overflow persists at the analytic width bound "
                     f"(W={W}, Ws={Ws}) — internal invariant violated")
-            W, Ws = nxt
+            W, Ws = W2, Ws2
             st.retries += 1
             continue
+        if options.max_limbs is None:
+            analysis.fused_width_cache = (W, Ws)
         if sing:
             # exact cancellation of a scheduled pivot: the padded path
             # owns the replanning machinery (pin the oracle's pivots)
@@ -162,9 +230,11 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
             det = tc_rows_to_ints(det_row)[0]
             x = SlipMatrix.allocate(Kind.DENSE, Type.MPQ, n, nrhs)
             factor = A.scale / bz.scale
+            fnum, fden = factor.numerator, factor.denominator
+            den_all = det * fden
             for c in range(nrhs):
                 xh = tc_rows_to_ints(X_h[c][:n])
                 for k in range(n):
-                    x.x[int(q[k]), c] = Fraction(xh[k], det) * factor
+                    x.x[int(q[k]), c] = _mpq(xh[k] * fnum, den_all)
         record(st)
         return x

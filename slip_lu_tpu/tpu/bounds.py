@@ -56,18 +56,23 @@ def rhs_bits(b_ints) -> int:
 
 
 def _input_width(values) -> int:
-    """Limbs needed to store the widest input magnitude (>= 1)."""
+    """Limbs needed to store the widest input in TWO'S COMPLEMENT (>= 1).
+
+    Sign-aware: +2**31 needs 3 limbs, not 2 — clamped widths below this
+    would make the host-side packing wrap silently before the device
+    could flag anything."""
     bits = 1
     for v in values:
-        b = int(v).bit_length()
+        v = int(v)
+        b = (v if v >= 0 else ~v).bit_length() + 1
         if b > bits:
             bits = b
     return -(-bits // LIMB_BITS)
 
 
-def factor_width(A: SlipMatrix, max_limbs=None) -> int:
+def factor_width(A: SlipMatrix, max_limbs=None, hbits=None) -> int:
     """Limb width W for factorization values (L, U, rhos, intermediates)."""
-    bits = hadamard_bits(A) + _GUARD_BITS
+    bits = (hadamard_bits(A) if hbits is None else hbits) + _GUARD_BITS
     W = -(-bits // LIMB_BITS)
     if max_limbs is not None:
         # max_limbs caps the (possibly pessimistic) analytic bound, but W
@@ -78,14 +83,15 @@ def factor_width(A: SlipMatrix, max_limbs=None) -> int:
     return max(2, W)
 
 
-def solve_width(A: SlipMatrix, b_ints, W_factor: int, n: int, max_limbs=None) -> int:
+def solve_width(A: SlipMatrix, b_ints, W_factor: int, n: int, max_limbs=None,
+                hbits=None) -> int:
     """Limb width for the substitution phase.
 
     Covers rho_{n-1} * y (forward result times determinant, <= 2H + R bits
     since y and x_hat are minors of [A|b] <= 2^(H+R) and det <= 2^H) and
     every back-substitution partial sum (+ log2 n accumulation slack).
     """
-    H = hadamard_bits(A)
+    H = hadamard_bits(A) if hbits is None else hbits
     bits = 2 * H + rhs_bits(b_ints) + max(1, n).bit_length() + _GUARD_BITS
     W = -(-bits // LIMB_BITS)
     if max_limbs is not None:
