@@ -82,7 +82,7 @@ def _signed_terms(pu, x, y, D):
 
 
 def _pass_body(C, Wt, Wo, W8, WN, WI8, E_dummy,
-               ev_ref, tgt_ref, a_ref, SMT_ref, GT_ref, TZ_ref,
+               cnt, ev_ref, tgt_ref, a_ref, SMT_ref, GT_ref, TZ_ref,
                gat_t, gat_m, gat_a, gat_b, gat_g, gat_z, scat,
                conv, flag_ref, b_src_ref, flag_slot=1):
     mT, bT, iT, acc0, acc1 = conv
@@ -91,67 +91,73 @@ def _pass_body(C, Wt, Wo, W8, WN, WI8, E_dummy,
     Wt: limb width of target rows (W8 for factor, Ws8 for solve);
     Wo: output width = Wt. a operands always come from the value table
     (width W8); b operands from b_src_ref (val for factor, X for solve).
+
+    cnt is the chunk's REAL event count (SMEM scalar): gather/scatter
+    loops run cnt iterations, not capacity C; lanes >= cnt hold stale
+    scratch whose (discarded) arithmetic is harmless, and the overflow
+    reduction is masked to live lanes. An empty pass is skipped whole.
     """
-    def gbody(e, _):
-        t = ev_ref[0, e, 0]
-        m_ = ev_ref[0, e, 1]
-        d_ = ev_ref[0, e, 2]
-        a_ = ev_ref[0, e, 3]
-        b_ = ev_ref[0, e, 4]
-        gat_t[pl.ds(e, 1), :] = tgt_ref[pl.ds(t, 1), :]
-        gat_m[pl.ds(e, 1), :] = SMT_ref[pl.ds(m_, 1), :]
-        gat_g[pl.ds(e, 1), :] = GT_ref[pl.ds(d_, 1), :]
-        gat_z[pl.ds(e, 1), :] = TZ_ref[pl.ds(d_, 1), :]
-        gat_a[pl.ds(e, 1), :] = a_ref[pl.ds(a_, 1), :]
-        gat_b[pl.ds(e, 1), :] = b_src_ref[pl.ds(b_, 1), :]
-        return 0
+    @pl.when(cnt > 0)
+    def _run():
+        def gbody(e, _):
+            t = ev_ref[0, e, 0]
+            m_ = ev_ref[0, e, 1]
+            d_ = ev_ref[0, e, 2]
+            a_ = ev_ref[0, e, 3]
+            b_ = ev_ref[0, e, 4]
+            gat_t[pl.ds(e, 1), :] = tgt_ref[pl.ds(t, 1), :]
+            gat_m[pl.ds(e, 1), :] = SMT_ref[pl.ds(m_, 1), :]
+            gat_g[pl.ds(e, 1), :] = GT_ref[pl.ds(d_, 1), :]
+            gat_z[pl.ds(e, 1), :] = TZ_ref[pl.ds(d_, 1), :]
+            gat_a[pl.ds(e, 1), :] = a_ref[pl.ds(a_, 1), :]
+            gat_b[pl.ds(e, 1), :] = b_src_ref[pl.ds(b_, 1), :]
+            return 0
 
-    lax.fori_loop(0, C, gbody, 0)
+        lax.fori_loop(0, cnt, gbody, 0)
 
-    tT = gat_t[:C, :].T                            # [Wt, C]
-    aT = gat_a[:C, :].T                            # [W8, C]
-    mT[:] = gat_m[:C, :].T                         # [W8, C]
-    bT[:] = gat_b[:C, :].T                         # [Wb, C]
-    iT[:] = gat_g[:C, :].T[:WN]                    # [WN, C]
-    tz = gat_z[:C, :].T[0:1]                       # [1, C]
-    Wb = bT.shape[0]
+        tT = gat_t[:C, :].T                            # [Wt, C]
+        aT = gat_a[:C, :].T                            # [W8, C]
+        mT[:] = gat_m[:C, :].T                         # [W8, C]
+        bT[:] = gat_b[:C, :].T                         # [Wb, C]
+        iT[:] = gat_g[:C, :].T[:WN]                    # [WN, C]
+        tz = gat_z[:C, :].T[0:1]                       # [1, C]
+        Wb = bT.shape[0]
 
-    # p1 = target * rho_mult, p2 = A * B (unsigned convs + corrections)
-    p1u = pk.mul_mod(tT, mT, 0, W8, acc0, acc1, WN)
-    pos1, neg1 = _signed_terms(p1u, tT, mT[:], WN)
-    p2u = pk.mul_mod(aT, bT, 0, Wb, acc0, acc1, WN)
-    pos2, neg2 = _signed_terms(p2u, aT, bT[:], WN)
-    # num = (p1u + pos1 + neg2) - (p2u + pos2 + neg1), one sub
-    P = pk.carry_normalize(p1u + pos1 + neg2, 4 * MASK16)
-    N = pk.carry_normalize(p2u + pos2 + neg1, 4 * MASK16)
-    num = pk.sub_mod(P, N)
-    # exact division by rho_div: shift out tz bits, multiply by the
-    # Hensel inverse mod 2**(16*WN) — the true quotient fits in WN
-    shifted = pk.shr_bits(num, tz, W8)
-    q = pk.mul_mod(shifted, iT, 0, WN, acc0, acc1, WN)
-    ovf = ~pk.fits_in(q, Wo)
-    anyovf = jnp.max(ovf.astype(jnp.int32))
-    flag_ref[1] = flag_ref[1] | anyovf
-    flag_ref[flag_slot] = flag_ref[flag_slot] | anyovf
+        # p1 = target * rho_mult, p2 = A * B (unsigned convs + corrections)
+        p1u = pk.mul_mod(tT, mT, 0, W8, acc0, acc1, WN)
+        pos1, neg1 = _signed_terms(p1u, tT, mT[:], WN)
+        p2u = pk.mul_mod(aT, bT, 0, Wb, acc0, acc1, WN)
+        pos2, neg2 = _signed_terms(p2u, aT, bT[:], WN)
+        # num = (p1u + pos1 + neg2) - (p2u + pos2 + neg1), one sub
+        P = pk.carry_normalize(p1u + pos1 + neg2, 4 * MASK16)
+        N = pk.carry_normalize(p2u + pos2 + neg1, 4 * MASK16)
+        num = pk.sub_mod(P, N)
+        # exact division by rho_div: shift out tz bits, multiply by the
+        # Hensel inverse mod 2**(16*WN) — the true quotient fits in WN
+        shifted = pk.shr_bits(num, tz, W8)
+        q = pk.mul_mod(shifted, iT, 0, WN, acc0, acc1, WN)
+        lane = lax.broadcasted_iota(jnp.int32, (1, C), 1)
+        ovf = (~pk.fits_in(q, Wo)) & (lane < cnt)
+        anyovf = jnp.max(ovf.astype(jnp.int32))
+        flag_ref[1] = flag_ref[1] | anyovf
+        flag_ref[flag_slot] = flag_ref[flag_slot] | anyovf
 
-    scat[0:C, :] = q[:Wo].T                        # [C, Wo]
+        scat[0:C, :] = q[:Wo].T                        # [C, Wo]
 
-    def sbody(e, _):
-        t = ev_ref[0, e, 0]
-        tgt_ref[pl.ds(t, 1), :] = scat[pl.ds(e, 1), :]
-        return 0
+        def sbody(e, _):
+            t = ev_ref[0, e, 0]
+            tgt_ref[pl.ds(t, 1), :] = scat[pl.ds(e, 1), :]
+            return 0
 
-    lax.fori_loop(0, C, sbody, 0)
-    # pads target the dummy row and compute exact zeros, so no re-zero
-    # of row E_dummy is needed (asserted by the stream replay tests)
+        lax.fori_loop(0, cnt, sbody, 0)
 
 
-def _factor_kernel(h_step, h_slot, h_div, ev1, ev2, val_in,
+def _factor_kernel(h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
                    val, SMT, GT, TZ, flags,
                    gat_t, gat_m, gat_a, gat_b, gat_g, gat_z, scat,
                    mT1, bT1, iT1, acc0a, acc1a,
                    mT2, bT2, iT2, acc0b, acc1b,
-                   hm, hi, hacc0, hacc1, ld, lx, lu, ltz, flag_ref,
+                   hm, hi, hr, hacc0, hacc1, ld, lx, lu, ltz, flag_ref,
                    *, n, E, W8, WN, WI8, H, C1, C2):
     i = pl.program_id(0)
 
@@ -169,10 +175,14 @@ def _factor_kernel(h_step, h_slot, h_div, ev1, ev2, val_in,
         for fi in range(8):
             flag_ref[fi] = 0
 
+    any_heads = cnts[0, 0, 0] > 0
+
     # ---------------- phase A: sequential pivot heads ----------------
-    ld[:] = jnp.zeros_like(ld)
-    ld[0:1, :] = jnp.ones((1, ld.shape[1]), jnp.int32)
-    ltz[:] = jnp.zeros_like(ltz)
+    @pl.when(any_heads)
+    def _heads_init():
+        ld[:] = jnp.zeros_like(ld)
+        ld[0:1, :] = jnp.ones((1, ld.shape[1]), jnp.int32)
+        ltz[:] = jnp.zeros_like(ltz)
 
     for t in range(H):
         k = h_step[0, 0, t]
@@ -182,15 +192,24 @@ def _factor_kernel(h_step, h_slot, h_div, ev1, ev2, val_in,
             slot = h_slot[0, 0, t]
             dv = h_div[0, 0, t]
             dcol = _col_of_row(val[pl.ds(slot, 1), :], W8)      # [W8, 8]
-            hm[:] = _col_of_row(SMT[pl.ds(k, 1), :], W8)
-            hi[:] = _col_of_row(GT[pl.ds(dv, 1), :], WN)
-            tzv = TZ[pl.ds(dv, 1), :]                           # [1, 8]
-            p1u = pk.mul_mod(dcol, hm, 0, W8, hacc0, hacc1, WN)
-            pos1, neg1 = _signed_terms(p1u, dcol, hm[:], WN)
-            P = pk.carry_normalize(p1u + pos1, 2 * MASK16)
-            num = pk.sub_mod(P, pk.carry_normalize(neg1, 2 * MASK16))
-            shifted = pk.shr_bits(num, tzv, W8)
-            rho = pk.mul_mod(shifted, hi, 0, WN, hacc0, hacc1, WN)
+            hr[:] = pk.sign_extend(dcol, WN)
+
+            # history fix of the diagonal — skipped when its last update
+            # already brought it to level k-1 (dv == k: multiply and
+            # divide by the same rho_{k-1}, an identity)
+            @pl.when(dv != k)
+            def _fix():
+                hm[:] = _col_of_row(SMT[pl.ds(k, 1), :], W8)
+                hi[:] = _col_of_row(GT[pl.ds(dv, 1), :], WN)
+                tzv = TZ[pl.ds(dv, 1), :]                       # [1, 8]
+                p1u = pk.mul_mod(dcol, hm, 0, W8, hacc0, hacc1, WN)
+                pos1, neg1 = _signed_terms(p1u, dcol, hm[:], WN)
+                P = pk.carry_normalize(p1u + pos1, 2 * MASK16)
+                num = pk.sub_mod(P, pk.carry_normalize(neg1, 2 * MASK16))
+                shifted = pk.shr_bits(num, tzv, W8)
+                hr[:] = pk.mul_mod(shifted, hi, 0, WN, hacc0, hacc1, WN)
+
+            rho = hr[:]
             zer = pk.is_zero(rho)                               # [1, 8]
             flag_ref[0] = flag_ref[0] | zer.astype(jnp.int32)[0, 0]
             hovf = (~pk.fits_in(rho, W8)).astype(jnp.int32)[0, 0]
@@ -210,36 +229,39 @@ def _factor_kernel(h_step, h_slot, h_div, ev1, ev2, val_in,
             ltz[:] = jnp.where(lane != 0, tzr[:, 0:1], ltz[:])
 
     # ---------------- phase A2: batched Hensel lift -------------------
-    x = pk.inv16(ld[0:1, :])
-    w = 1
-    while w < WI8:
-        w2 = min(2 * w, WI8)
-        lx[:] = pk._cat([x, jnp.zeros((WI8 - x.shape[0], 8), jnp.int32)])
-        tprod = pk.mul_mod(ld[:w2, :], lx, 0, w, hacc0, hacc1, w2)
-        u = pk.two_minus_mod(tprod)
-        lu[:] = pk._cat([u, jnp.zeros((WI8 - w2, 8), jnp.int32)])
-        x = pk.mul_mod(
-            pk._cat([x, jnp.zeros((w2 - x.shape[0], 8), jnp.int32)]),
-            lu, 0, w2, hacc0, hacc1, w2)
-        w = w2
-    invT = pk._cat(
-        [x, jnp.zeros((WI8 - x.shape[0], 8), jnp.int32)]).T  # [8, WI8]
-    tzT = ltz[:].T                                           # [H, 1]
-    for t in range(H):
-        k = h_step[0, 0, t]
+    @pl.when(any_heads)
+    def _lift():
+        x = pk.inv16(ld[0:1, :])
+        w = 1
+        while w < WI8:
+            w2 = min(2 * w, WI8)
+            lx[:] = pk._cat([x, jnp.zeros((WI8 - x.shape[0], 8),
+                                          jnp.int32)])
+            tprod = pk.mul_mod(ld[:w2, :], lx, 0, w, hacc0, hacc1, w2)
+            u = pk.two_minus_mod(tprod)
+            lu[:] = pk._cat([u, jnp.zeros((WI8 - w2, 8), jnp.int32)])
+            x = pk.mul_mod(
+                pk._cat([x, jnp.zeros((w2 - x.shape[0], 8), jnp.int32)]),
+                lu, 0, w2, hacc0, hacc1, w2)
+            w = w2
+        invT = pk._cat(
+            [x, jnp.zeros((WI8 - x.shape[0], 8), jnp.int32)]).T  # [8, WI8]
+        tzT = ltz[:].T                                           # [H, 1]
+        for t in range(H):
+            k = h_step[0, 0, t]
 
-        @pl.when(k >= 0)
-        def _write_gt():
-            GT[pl.ds(k + 1, 1), :] = invT[t:t + 1, :]
-            TZ[pl.ds(k + 1, 1), :] = jnp.broadcast_to(
-                tzT[t:t + 1, :], (1, 8))
+            @pl.when(k >= 0)
+            def _write_gt():
+                GT[pl.ds(k + 1, 1), :] = invT[t:t + 1, :]
+                TZ[pl.ds(k + 1, 1), :] = jnp.broadcast_to(
+                    tzT[t:t + 1, :], (1, 8))
 
     # ---------------- phases B and C: the two batched passes ----------
-    _pass_body(C1, W8, W8, W8, WN, WI8, E, ev1, val, val,
+    _pass_body(C1, W8, W8, W8, WN, WI8, E, cnts[0, 0, 1], ev1, val, val,
                SMT, GT, TZ, gat_t, gat_m, gat_a, gat_b, gat_g, gat_z,
                scat, (mT1, bT1, iT1, acc0a, acc1a), flag_ref, val,
                flag_slot=3)
-    _pass_body(C2, W8, W8, W8, WN, WI8, E, ev2, val, val,
+    _pass_body(C2, W8, W8, W8, WN, WI8, E, cnts[0, 0, 2], ev2, val, val,
                SMT, GT, TZ, gat_t, gat_m, gat_a, gat_b, gat_g, gat_z,
                scat, (mT2, bT2, iT2, acc0b, acc1b), flag_ref, val,
                flag_slot=4)
@@ -256,7 +278,7 @@ def _factor_kernel(h_step, h_slot, h_div, ev1, ev2, val_in,
 @functools.partial(jax.jit, static_argnames=(
     "n", "E", "W8", "WN", "WI8", "H", "C1", "C2"))
 def factor_fused(n, E, W8, WN, WI8, H, C1, C2,
-                 h_step, h_slot, h_div, ev1, ev2, val_in):
+                 h_step, h_slot, h_div, cnts, ev1, ev2, val_in):
     """Run the whole factor stream. Returns (val, SMT, GT, TZ, flags)."""
     nc = h_step.shape[0]
     E8 = _r8(E + 1)
@@ -273,6 +295,8 @@ def factor_fused(n, E, W8, WN, WI8, H, C1, C2,
             pl.BlockSpec((1, 1, H), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, H), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 4), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, C1, 5), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -313,6 +337,7 @@ def factor_fused(n, E, W8, WN, WI8, H, C1, C2,
             pltpu.VMEM((2 * WN + 24, C2), jnp.int32),   # acc1b
             pltpu.VMEM((W8, 8), jnp.int32),       # hm
             pltpu.VMEM((WN, 8), jnp.int32),       # hi
+            pltpu.VMEM((WN, 8), jnp.int32),       # hr
             pltpu.VMEM((2 * WI8 + 24, 8), jnp.int32),   # hacc0
             pltpu.VMEM((2 * WI8 + 24, 8), jnp.int32),   # hacc1
             pltpu.VMEM((WI8, 8), jnp.int32),      # ld
@@ -332,13 +357,15 @@ def factor_fused(n, E, W8, WN, WI8, H, C1, C2,
             jax.ShapeDtypeStruct((8, 128), jnp.int32),
         ),
         grid_spec=grid_spec,
-        input_output_aliases={5: 0},
+        input_output_aliases={6: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(h_step[:, None, :], h_slot[:, None, :], h_div[:, None, :],
-      ev1, ev2, val_in)
+      cnts[:, None, :], ev1, ev2, val_in)
 
 
-def _solve_kernel(ev1, ev2, val, SMT, GT, TZ, X_in,
+def _solve_kernel(cnts, ev1, ev2, val, SMT, GT, TZ, X_in,
                   X, flags,
                   gat_t, gat_m, gat_a, gat_b, gat_g, gat_z, scat,
                   mT1, bT1, iT1, acc0a, acc1a,
@@ -352,11 +379,11 @@ def _solve_kernel(ev1, ev2, val, SMT, GT, TZ, X_in,
         for fi in range(8):
             flag_ref[fi] = 0
 
-    _pass_body(C1, Ws8, Ws8, W8, WNS, WI8, n, ev1, X, val,
+    _pass_body(C1, Ws8, Ws8, W8, WNS, WI8, n, cnts[0, 0, 1], ev1, X, val,
                SMT, GT, TZ, gat_t, gat_m, gat_a, gat_b, gat_g, gat_z,
                scat, (mT1, bT1, iT1, acc0a, acc1a), flag_ref, X,
                flag_slot=3)
-    _pass_body(C2, Ws8, Ws8, W8, WNS, WI8, n, ev2, X, val,
+    _pass_body(C2, Ws8, Ws8, W8, WNS, WI8, n, cnts[0, 0, 2], ev2, X, val,
                SMT, GT, TZ, gat_t, gat_m, gat_a, gat_b, gat_g, gat_z,
                scat, (mT2, bT2, iT2, acc0b, acc1b), flag_ref, X,
                flag_slot=4)
@@ -373,7 +400,7 @@ def _solve_kernel(ev1, ev2, val, SMT, GT, TZ, X_in,
 @functools.partial(jax.jit, static_argnames=(
     "n", "E", "W8", "Ws8", "WNS", "WI8", "C1", "C2"))
 def solve_fused(n, E, W8, Ws8, WNS, WI8, C1, C2,
-                ev1, ev2, val, SMT, GT, TZ, X_in):
+                cnts, ev1, ev2, val, SMT, GT, TZ, X_in):
     """Run the solve stream (fwd + det + bwd). Returns (X, flags)."""
     nc = ev1.shape[0]
     E8 = val.shape[0]
@@ -386,6 +413,8 @@ def solve_fused(n, E, W8, Ws8, WNS, WI8, C1, C2,
         num_scalar_prefetch=0,
         grid=(nc,),
         in_specs=[
+            pl.BlockSpec((1, 1, 4), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, C1, 5), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, C2, 5), lambda i: (i, 0, 0),
@@ -435,16 +464,18 @@ def solve_fused(n, E, W8, Ws8, WNS, WI8, C1, C2,
             jax.ShapeDtypeStruct((8, 128), jnp.int32),
         ),
         grid_spec=grid_spec,
-        input_output_aliases={6: 0},
+        input_output_aliases={7: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(ev1, ev2, val, SMT, GT, TZ, X_in)
+    )(cnts[:, None, :], ev1, ev2, val, SMT, GT, TZ, X_in)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "n", "E", "W8", "Ws8", "WN", "WNS", "WI8", "H", "C1", "C2"))
 def fused_solve_all(n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2,
-                    h_step, h_slot, h_div, fev1, fev2, sev1, sev2,
-                    val_in, b_rows):
+                    h_step, h_slot, h_div, fcnt, fev1, fev2,
+                    scnt, sev1, sev2, val_in, b_rows):
     """ONE XLA program for the whole exact solve: factor stream, every
     RHS solve stream, and a single flat int32 result vector
 
@@ -457,7 +488,7 @@ def fused_solve_all(n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2,
     the flat vector comes back.
     """
     val_d, SMT_d, GT_d, TZ_d, fflags = factor_fused(
-        n, E, W8, WN, WI8, H, C1, C2, h_step, h_slot, h_div,
+        n, E, W8, WN, WI8, H, C1, C2, h_step, h_slot, h_div, fcnt,
         fev1, fev2, val_in)
     parts = [fflags[0, :2], SMT_d[n, :]]
     X8 = _r8(n + 1)
@@ -471,7 +502,7 @@ def fused_solve_all(n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2,
                 axis=1)
         xarr = jnp.zeros((X8, Ws8), jnp.int32).at[:n].set(col)
         X_d, sflags = solve_fused(
-            n, E, W8, Ws8, WNS, WI8, C1, C2, sev1, sev2,
+            n, E, W8, Ws8, WNS, WI8, C1, C2, scnt, sev1, sev2,
             val_d, SMT_d, GT_d, TZ_d, xarr)
         parts.append(sflags[0, :2])
         parts.append(X_d[:n].reshape(-1))

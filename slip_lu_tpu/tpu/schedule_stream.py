@@ -54,6 +54,9 @@ class StreamChunks:
     h_div: np.ndarray    # [nc, H] hist field of the diagonal (pad 0)
     ev1: np.ndarray      # [nc, C1, 5] pass-1 (target, mult, div, A, B)
     ev2: np.ndarray      # [nc, C2, 5] pass-2 events
+    counts: np.ndarray   # [nc, 4] (n_heads, n_ev1, n_ev2, 0) per chunk —
+    #                      the kernels bound their gather/scatter loops
+    #                      by these instead of paying full capacity
     nchunks: int
     fill: float          # event-slot utilization (diagnostic)
 
@@ -95,6 +98,7 @@ class _ChunkBuilder:
         self.w1: set = set()     # slots written by pass 1 (or heads)
         self.w2: set = set()     # slots written by pass 2
         self.r2: set = set()     # slots read by pass-2 events
+        self.hsteps: set = set()  # steps whose head is in this chunk
         self.events = 0
 
     def _flush(self):
@@ -103,6 +107,7 @@ class _ChunkBuilder:
         self.chunks.append((self.h, self.p1, self.p2))
         self.h, self.p1, self.p2 = [], [], []
         self.w1, self.w2, self.r2 = set(), set(), set()
+        self.hsteps = set()
 
     def barrier(self):
         """End the current chunk (segment boundary, e.g. fwd|det|bwd)."""
@@ -112,11 +117,20 @@ class _ChunkBuilder:
         # heads execute before both passes, but a head only touches its
         # diagonal slot and table rows no pass event reads, so it may
         # join a chunk with pass events already queued as long as its
-        # diagonal is untouched there (phase A still runs first)
+        # diagonal is untouched there (phase A still runs first).
+        #
+        # GT/TZ hazard: a head's history fix (div != k) reads GT[div]
+        # and TZ[div], which are written by the batched Hensel lift
+        # (phase A2) of the chunk holding head div-1 — AFTER that
+        # chunk's phase A. A same-chunk read would see garbage, so cut
+        # the chunk. (div == k is the identity fix; the kernel skips it
+        # without touching GT/TZ, so it may share freely.)
         if (len(self.h) == self.H or slot in self.w1 or slot in self.w2
-                or slot in self.r2):
+                or slot in self.r2
+                or (div != k and (div - 1) in self.hsteps)):
             self._flush()
         self.h.append([k, slot, div])
+        self.hsteps.add(k)
         self.w1.add(slot)
 
     def add(self, target, mult, div, a, b, pass2: bool):
@@ -164,6 +178,7 @@ class _ChunkBuilder:
             ev[:, :, 0] = self.dummy
             ev[:, :, 3] = self.dummy
             ev[:, :, 4] = self.dummy if dummy_b is None else dummy_b
+        counts = np.zeros((nc, 4), np.int32)
         used = 0
         for c, (h, p1, p2) in enumerate(self.chunks):
             for t, (k, s, d) in enumerate(h):
@@ -174,10 +189,12 @@ class _ChunkBuilder:
                 ev1[c, t] = e
             for t, e in enumerate(p2):
                 ev2[c, t] = e
+            counts[c] = (len(h), len(p1), len(p2), 0)
             used += len(p1) + len(p2)
         fill = used / float(nc * (C1 + C2))
         return StreamChunks(h_step=h_step, h_slot=h_slot, h_div=h_div,
-                            ev1=ev1, ev2=ev2, nchunks=nc, fill=fill)
+                            ev1=ev1, ev2=ev2, counts=counts, nchunks=nc,
+                            fill=fill)
 
 
 def build_event_stream(sched: SparseSchedule, heads_per_chunk: int = 8,

@@ -157,3 +157,56 @@ def test_stream_heads_pack_on_sparse_patterns():
     # pivot-chain conflicts (step k updates step k+1's diagonal) bound
     # packing at ~1 step/chunk on a tridiagonal; never worse than that
     assert f.nchunks <= n
+
+
+def test_head_gt_read_never_references_same_chunk_head():
+    """Kernel-order invariant: a head's history fix (div != k) reads
+    GT[div]/TZ[div], which the batched Hensel lift writes only AFTER all
+    heads of the chunk holding head div-1 — so head div-1 must never
+    share a chunk with a head whose fix divides by it. (Regression: the
+    builder originally allowed this; low-fill banded streams pack many
+    heads per chunk and read garbage inverses — found on the uni10k
+    corpus member.)"""
+    from slip_lu_tpu.io import read_triplet
+    from slip_lu_tpu.convert import matrix_copy
+    from slip_lu_tpu.matrix import Kind
+
+    cases = [_system(40, seed=4)[0], _system(24, seed=3)[0],
+             matrix_copy(read_triplet("data/ExampleMats/tri200_mat.txt"),
+                         Kind.CSC, Type.MPZ)]
+    for A in cases:
+        ana = analyze(A, Options())
+        sched, _ = build_schedule_best(A, np.asarray(ana.q, np.int64),
+                                       None)
+        es = build_event_stream(sched, heads_per_chunk=8,
+                                pass1_events=32, pass2_events=128)
+        f = es.factor
+        for c in range(f.nchunks):
+            steps = set()
+            for t in range(f.h_step.shape[1]):
+                k = int(f.h_step[c, t])
+                if k < 0:
+                    continue
+                d = int(f.h_div[c, t])
+                assert d == k or (d - 1) not in steps, (c, t, k, d)
+                steps.add(k)
+
+
+def test_stream_counts_match_events():
+    """StreamChunks.counts must equal the number of non-pad entries —
+    the kernels bound their gather/scatter loops by these."""
+    A, _ = _system(24, seed=3)
+    ana = analyze(A, Options())
+    sched, _ = build_schedule_best(A, np.asarray(ana.q, np.int64), None)
+    es = build_event_stream(sched, heads_per_chunk=8,
+                            pass1_events=16, pass2_events=64)
+    for sc in (es.factor, es.solve):
+        E_dummy = es.nnz if sc is es.factor else es.n
+        for c in range(sc.nchunks):
+            nh = int((sc.h_step[c] >= 0).sum())
+            n1 = int((sc.ev1[c, :, 0] != E_dummy).sum())
+            n2 = int((sc.ev2[c, :, 0] != E_dummy).sum())
+            assert tuple(sc.counts[c][:3]) == (nh, n1, n2), c
+            # non-pad events pack densely from slot 0
+            assert (sc.ev1[c, :n1, 0] != E_dummy).all()
+            assert (sc.ev2[c, :n2, 0] != E_dummy).all()
