@@ -19,8 +19,10 @@ import time
 
 
 def main() -> None:
-    mat = os.environ.get("SLIP_BENCH_MAT", "data/ExampleMats/grid16_mat.txt")
-    rhs = os.environ.get("SLIP_BENCH_RHS", "data/ExampleMats/grid16_v.txt")
+    # default: the 11K-nnz banded member — large enough that device
+    # compute (not the per-dispatch tunnel latency) is what's measured
+    mat = os.environ.get("SLIP_BENCH_MAT", "data/ExampleMats/uni10k_mat.txt")
+    rhs = os.environ.get("SLIP_BENCH_RHS", "data/ExampleMats/uni10k_v.txt")
     here = os.path.dirname(os.path.abspath(__file__))
     sys.path.insert(0, here)
     os.chdir(here)
@@ -31,7 +33,7 @@ def main() -> None:
         import jax
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
-    backend = os.environ.get("SLIP_BENCH_BACKEND", "tpu-sparse")
+    backend = os.environ.get("SLIP_BENCH_BACKEND", "tpu-fused")
 
     from slip_lu_tpu.analyze import analyze
     from slip_lu_tpu.backslash import backslash
@@ -40,6 +42,7 @@ def main() -> None:
     from slip_lu_tpu.matrix import Kind, Type
     from slip_lu_tpu.options import Options
     from slip_lu_tpu.solve import check_solution
+    from slip_lu_tpu.tpu.backslash_fused import factorize_solve_tpu_fused
     from slip_lu_tpu.tpu.backslash_sparse import factorize_solve_tpu_sparse
     from slip_lu_tpu.tpu.backslash_tpu import factorize_solve_tpu
 
@@ -48,8 +51,9 @@ def main() -> None:
     nnz = int(A.p[A.n])
     opts = Options()
     ana = analyze(A, opts)
-    run_dev = (factorize_solve_tpu_sparse if backend == "tpu-sparse"
-               else factorize_solve_tpu)
+    run_dev = {"tpu-sparse": factorize_solve_tpu_sparse,
+               "tpu-fused": factorize_solve_tpu_fused,
+               "tpu": factorize_solve_tpu}[backend]
 
     # --- baseline: host oracle (the reference algorithm, Python ints) ---
     t0 = time.perf_counter()
