@@ -41,7 +41,8 @@ from ..stats import SolveStats, phase_timer, record
 from .bounds import (_input_width, factor_width, hadamard_bits,
                      solve_width)
 from .factor_fused import (fused_solve_all, ints_to_tc_rows,
-                           tc_rows_to_ints, _r8)
+                           tc_rows_to_ints, val_table_in_hbm,
+                           _r8, _r128)
 from .schedule import _permute_cols
 from .schedule_native import build_schedule_best
 from .schedule_stream import build_event_stream
@@ -159,11 +160,17 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
                 W = min(max(W, W_in), W_full)
                 Ws = min(max(Ws, W + 1, Wb_in), Ws_full)
             else:
-                W = min(max(2, W_in + 1, -(-W_full // 16)), W_full)
-                Ws = min(max(W + 1, Wb_in + 1, -(-Ws_full // 16)),
-                         Ws_full)
+                # start at bound/16 but never above 16 limbs — for very
+                # large matrices the bound grows with n while the true
+                # entry growth often doesn't, and the doubling ladder
+                # recovers genuinely wide cases in O(log) retries
+                W = min(max(2, W_in + 1, min(-(-W_full // 16), 16)),
+                        W_full)
+                Ws = min(max(W + 1, Wb_in + 1,
+                             min(-(-Ws_full // 16), 32)), Ws_full)
 
         sing = False
+        sing_streak = 0
         while True:
             W8 = _r8(W)
             Ws8 = _r8(max(Ws, W + 1))
@@ -175,14 +182,21 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
                 # A's limb table is per-(schedule, W): upload once, reuse
                 # the device buffer across solves (fused_solve_all never
                 # donates its val argument)
+                E8 = _r8(E + 1)
+                # HBM mode: each slot stored as KR 128-lane rows (the
+                # DMA slice granularity; see factor_fused docstring)
+                hbm_mode = val_table_in_hbm(E8, W8)
+                WV = _r128(W8) if hbm_mode else W8
                 vkey = (key, W8)
                 vcache = getattr(analysis, "fused_val_cache", None)
                 if vcache is not None and vcache[0] == vkey:
                     val_dev = vcache[1]
                 else:
-                    val_in = np.zeros((_r8(E + 1), W8), dtype=np.int32)
-                    val_in[np.asarray(es.init_pos)] = ints_to_tc_rows(
+                    val_in = np.zeros((E8, WV), dtype=np.int32)
+                    val_in[np.asarray(es.init_pos), :W8] = ints_to_tc_rows(
                         avals, W8)
+                    if hbm_mode:
+                        val_in = val_in.reshape(E8 * (WV // 128), 128)
                     val_dev = jnp.asarray(val_in)
                     analysis.fused_val_cache = (vkey, val_dev)
                 bcols = [[int(bz.x[int(r[k]), c]) for k in range(n)]
@@ -197,7 +211,8 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
                     n, E, W8, Ws8, WN, WNS, WI8, heads_per_chunk,
                     pass1_events, pass2_events,
                     h_step, h_slot, h_div, fcnt, fev1, fev2,
-                    scnt, sev1, sev2, val_dev, jnp.asarray(b_rows))))
+                    scnt, sev1, sev2, val_dev, jnp.asarray(b_rows),
+                    hbm=hbm_mode)))
             o = 0
             fflags_h = flat[o:o + 2]; o += 2
             det_row = flat[o:o + W8][None, :]; o += W8
@@ -212,10 +227,14 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
             # Flag trust order (each can fake the other): with NO factor
             # overflow, all arithmetic up to a zero pivot was exact, so
             # sing is genuine -> replan. With factor overflow below the
-            # analytic bound, sing may be a truncation artifact -> widen
-            # and re-look. AT the bound real overflow is impossible, so
-            # a set ovf proves post-cancellation garbage -> trust sing.
-            if sing and not f_ovf:
+            # analytic bound, sing may be a truncation artifact (a
+            # wrapped pivot with 16W zero low bits) -> widen and
+            # re-look ONCE: doubling the width destroys any truncation
+            # fake, so a sing that survives two rungs is a genuine
+            # cancellation whose downstream garbage keeps faking ovf —
+            # replan rather than climb to the (possibly huge) bound.
+            sing_streak = sing_streak + 1 if sing else 0
+            if sing and (not f_ovf or sing_streak >= 2):
                 break                       # genuine cancellation
             if f_ovf or s_ovf:
                 W2, Ws2 = W, Ws

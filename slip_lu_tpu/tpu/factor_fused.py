@@ -6,7 +6,7 @@ on this runtime every non-fused op costs a fixed dispatch quantum, which
 floors small-matrix solves far above the hardware's capability. Here the
 whole factorization runs inside one pallas_call whose grid walks the
 uniform-event chunk stream (tpu/schedule_stream.py): per grid step the
-kernel gathers the chunk's operand rows from VMEM-resident state, does
+kernel gathers the chunk's operand rows from the value table, does
 phase A (sequential pivot heads: history-fix the diagonal, Hensel-lift
 its inverse), then two batched passes of the single formula
 
@@ -18,11 +18,20 @@ against the finished tables. Reference behavior being reproduced:
 SLIP_LU_factorize.c + slip_ref_triangular_solve.c (factor stream) and
 SLIP_LU_solve.c / slip_forward_sub.c / slip_back_sub.c (solve stream).
 
+Value-table placement: VMEM tiles are (8 sublanes x 128 lanes), so an
+[E8, W8] int32 table occupies E8*max(128, W8)*4 bytes of VMEM no matter
+how narrow W8 is — 120MB for a 100K-nnz fill at ANY width. Above a
+budget the table therefore lives in HBM ([E8, WH] rows, WH = W8 rounded
+to 128 lanes, the DMA slice granularity) and the kernels gather/scatter
+rows with async DMAs: issue the whole chunk's row copies, wait once,
+compute. Small problems keep the all-VMEM layout (same code, static
+flag). This is what scales the path across the 100K-1M nnz regime.
+
 Arithmetic is two's-complement multi-limb (ops/pallas_limbs.py); all
 divisions run at modulus width WN where the true quotient provably
 fits, making overflow detection sound by construction. Overflow and
 exact-cancellation (singular pivot) come back as flags; the driver
-widens-and-retries or falls back to the replanning padded path.
+widens-and-retries or replans (backslash_fused.py).
 """
 
 from __future__ import annotations
@@ -42,6 +51,18 @@ from ..ops.pallas_limbs import MASK16
 
 def _r8(x: int) -> int:
     return ((x + 7) // 8) * 8
+
+
+def _r128(x: int) -> int:
+    return ((x + 127) // 128) * 128
+
+
+_HBM_VAL_BUDGET = 40 * 2**20  # VMEM bytes the value table may occupy
+
+
+def val_table_in_hbm(E8: int, W8: int) -> bool:
+    """Whether the value table must live in HBM (see module docstring)."""
+    return E8 * max(128, _r128(W8)) * 4 > _HBM_VAL_BUDGET
 
 
 def _interpret() -> bool:
@@ -81,10 +102,47 @@ def _signed_terms(pu, x, y, D):
     return pos, neg
 
 
+def _dma(src_ref, s_row, dst_ref, d_row, sem):
+    return pltpu.make_async_copy(src_ref.at[pl.ds(s_row, 1), :],
+                                 dst_ref.at[pl.ds(d_row, 1), :], sem)
+
+
+def _gather_row(tbl, slot, dst3, e, KR, sem, wait=False):
+    """HBM value row -> VMEM gather planes. The table stores each slot
+    as KR consecutive 128-lane rows and the destination is segment-major
+    [KR, C, 128]: every DMA endpoint is a [1, 128] slice of a
+    single-lane-tile plane, the only slice shape the DMA engine accepts
+    (multi-tile rows cannot be partially sliced)."""
+    for k2 in range(KR):
+        cp = pltpu.make_async_copy(
+            tbl.at[pl.ds(slot * KR + k2, 1), :],
+            dst3.at[k2, pl.ds(e, 1), :], sem)
+        cp.wait() if wait else cp.start()
+
+
+def _scatter_row(src3, e, tbl, slot, KR, sem, wait=False):
+    """VMEM planes -> HBM value row (KR 128-lane segments)."""
+    for k2 in range(KR):
+        cp = pltpu.make_async_copy(
+            src3.at[k2, pl.ds(e, 1), :],
+            tbl.at[pl.ds(slot * KR + k2, 1), :], sem)
+        cp.wait() if wait else cp.start()
+
+
+def _planes_T(gat, C, hbm):
+    """Gathered rows, transposed to limb-major [W, C]: segment-major
+    planes concatenate along the limb axis in HBM mode."""
+    if hbm:
+        return jnp.concatenate(
+            [gat[k2, :C, :].T for k2 in range(gat.shape[0])], axis=0)
+    return gat[:C, :].T
+
+
 def _pass_body(C, Wt, Wo, W8, WN, WI8, E_dummy,
                cnt, ev_ref, tgt_ref, a_ref, SMT_ref, GT_ref, TZ_ref,
                gat_t, gat_m, gat_a, gat_b, gat_g, gat_z, scat,
-               conv, flag_ref, b_src_ref, flag_slot=1):
+               conv, flag_ref, b_src_ref, flag_slot=1,
+               hbm=(False, False, False), sem=None, KR=1):
     mT, bT, iT, acc0, acc1 = conv
     """One batched pass: gather -> fix/update formula -> scatter.
 
@@ -96,29 +154,63 @@ def _pass_body(C, Wt, Wo, W8, WN, WI8, E_dummy,
     loops run cnt iterations, not capacity C; lanes >= cnt hold stale
     scratch whose (discarded) arithmetic is harmless, and the overflow
     reduction is masked to live lanes. An empty pass is skipped whole.
+
+    hbm = (target, a, b) flags: HBM-resident sources gather by async
+    row DMA (issue all, wait all); VMEM sources copy directly. An HBM
+    target also scatters back by DMA. All DMAs share ONE byte-counting
+    scalar semaphore (v5e has 2KB of semaphore memory — per-event sem
+    arrays do not fit): since every phase is issue-all/wait-all, the
+    summed waits exactly consume the summed signals.
     """
+    t_hbm, a_hbm, b_hbm = hbm
+
     @pl.when(cnt > 0)
     def _run():
-        def gbody(e, _):
+        def gissue(e, _):
             t = ev_ref[0, e, 0]
             m_ = ev_ref[0, e, 1]
             d_ = ev_ref[0, e, 2]
             a_ = ev_ref[0, e, 3]
             b_ = ev_ref[0, e, 4]
-            gat_t[pl.ds(e, 1), :] = tgt_ref[pl.ds(t, 1), :]
             gat_m[pl.ds(e, 1), :] = SMT_ref[pl.ds(m_, 1), :]
             gat_g[pl.ds(e, 1), :] = GT_ref[pl.ds(d_, 1), :]
             gat_z[pl.ds(e, 1), :] = TZ_ref[pl.ds(d_, 1), :]
-            gat_a[pl.ds(e, 1), :] = a_ref[pl.ds(a_, 1), :]
-            gat_b[pl.ds(e, 1), :] = b_src_ref[pl.ds(b_, 1), :]
+            if t_hbm:
+                _gather_row(tgt_ref, t, gat_t, e, KR, sem)
+            else:
+                gat_t[pl.ds(e, 1), :] = tgt_ref[pl.ds(t, 1), :]
+            if a_hbm:
+                _gather_row(a_ref, a_, gat_a, e, KR, sem)
+            else:
+                gat_a[pl.ds(e, 1), :] = a_ref[pl.ds(a_, 1), :]
+            if b_hbm:
+                _gather_row(b_src_ref, b_, gat_b, e, KR, sem)
+            else:
+                gat_b[pl.ds(e, 1), :] = b_src_ref[pl.ds(b_, 1), :]
             return 0
 
-        lax.fori_loop(0, cnt, gbody, 0)
+        lax.fori_loop(0, cnt, gissue, 0)
 
-        tT = gat_t[:C, :].T                            # [Wt, C]
-        aT = gat_a[:C, :].T                            # [W8, C]
+        if t_hbm or a_hbm or b_hbm:
+            def gwait(e, _):
+                t = ev_ref[0, e, 0]
+                a_ = ev_ref[0, e, 3]
+                b_ = ev_ref[0, e, 4]
+                if t_hbm:
+                    _gather_row(tgt_ref, t, gat_t, e, KR, sem, wait=True)
+                if a_hbm:
+                    _gather_row(a_ref, a_, gat_a, e, KR, sem, wait=True)
+                if b_hbm:
+                    _gather_row(b_src_ref, b_, gat_b, e, KR, sem,
+                                wait=True)
+                return 0
+
+            lax.fori_loop(0, cnt, gwait, 0)
+
+        tT = _planes_T(gat_t, C, t_hbm)[:Wt]           # [Wt, C]
+        aT = _planes_T(gat_a, C, a_hbm)[:W8]           # [W8, C]
         mT[:] = gat_m[:C, :].T                         # [W8, C]
-        bT[:] = gat_b[:C, :].T                         # [Wb, C]
+        bT[:] = _planes_T(gat_b, C, b_hbm)[:bT.shape[0]]   # [Wb, C]
         iT[:] = gat_g[:C, :].T[:WN]                    # [WN, C]
         tz = gat_z[:C, :].T[0:1]                       # [1, C]
         Wb = bT.shape[0]
@@ -142,14 +234,31 @@ def _pass_body(C, Wt, Wo, W8, WN, WI8, E_dummy,
         flag_ref[1] = flag_ref[1] | anyovf
         flag_ref[flag_slot] = flag_ref[flag_slot] | anyovf
 
-        scat[0:C, :] = q[:Wo].T                        # [C, Wo]
+        if t_hbm:
+            full = pk._cat([q[:Wo],
+                            jnp.zeros((128 * KR - Wo, C), jnp.int32)])
+            for k2 in range(KR):
+                scat[k2, 0:C, :] = full[128 * k2:128 * (k2 + 1), :].T
+        else:
+            scat[0:C, :] = q[:Wo].T                    # [C, Wo]
 
-        def sbody(e, _):
+        def sissue(e, _):
             t = ev_ref[0, e, 0]
-            tgt_ref[pl.ds(t, 1), :] = scat[pl.ds(e, 1), :]
+            if t_hbm:
+                _scatter_row(scat, e, tgt_ref, t, KR, sem)
+            else:
+                tgt_ref[pl.ds(t, 1), :] = scat[pl.ds(e, 1), :]
             return 0
 
-        lax.fori_loop(0, cnt, sbody, 0)
+        lax.fori_loop(0, cnt, sissue, 0)
+
+        if t_hbm:
+            def swait(e, _):
+                t = ev_ref[0, e, 0]
+                _scatter_row(scat, e, tgt_ref, t, KR, sem, wait=True)
+                return 0
+
+            lax.fori_loop(0, cnt, swait, 0)
 
 
 def _factor_kernel(h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
@@ -158,12 +267,21 @@ def _factor_kernel(h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
                    mT1, bT1, iT1, acc0a, acc1a,
                    mT2, bT2, iT2, acc0b, acc1b,
                    hm, hi, hr, hacc0, hacc1, ld, lx, lu, ltz, flag_ref,
-                   *, n, E, W8, WN, WI8, H, C1, C2):
+                   *extra, n, E, W8, WN, WI8, H, C1, C2, hbm, KR):
+    if hbm:
+        hrows, sem = extra
+    else:
+        hrows = sem = None
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _init():
-        val[:] = val_in[:]
+        if hbm:
+            cp = pltpu.make_async_copy(val_in, val, sem)
+            cp.start()
+            cp.wait()
+        else:
+            val[:] = val_in[:]
         # row 0 of both tables = the identity (rho_{-1} = 1)
         SMT[0:1, :] = jnp.concatenate(
             [jnp.ones((1, 1), jnp.int32),
@@ -184,6 +302,19 @@ def _factor_kernel(h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
         ld[0:1, :] = jnp.ones((1, ld.shape[1]), jnp.int32)
         ltz[:] = jnp.zeros_like(ltz)
 
+    if hbm:
+        # prefetch every head's diagonal row (distinct slots by
+        # construction), then compute sequentially
+        for t in range(H):
+            @pl.when(h_step[0, 0, t] >= 0)
+            def _hg():
+                _gather_row(val, h_slot[0, 0, t], hrows, t, KR, sem)
+        for t in range(H):
+            @pl.when(h_step[0, 0, t] >= 0)
+            def _hw():
+                _gather_row(val, h_slot[0, 0, t], hrows, t, KR, sem,
+                            wait=True)
+
     for t in range(H):
         k = h_step[0, 0, t]
 
@@ -191,7 +322,12 @@ def _factor_kernel(h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
         def _head():
             slot = h_slot[0, 0, t]
             dv = h_div[0, 0, t]
-            dcol = _col_of_row(val[pl.ds(slot, 1), :], W8)      # [W8, 8]
+            if hbm:
+                drow = jnp.concatenate(
+                    [hrows[k2, t:t + 1, :] for k2 in range(KR)], axis=1)
+            else:
+                drow = val[pl.ds(slot, 1), :]
+            dcol = _col_of_row(drow, W8)                        # [W8, 8]
             hr[:] = pk.sign_extend(dcol, WN)
 
             # history fix of the diagonal — skipped when its last update
@@ -218,7 +354,15 @@ def _factor_kernel(h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
             rho_w = jnp.where(zer, _one_residue(W8, 8), rho[:W8])
             row = rho_w.T                                       # [8, W8]
             SMT[pl.ds(k + 1, 1), :] = row[0:1, :]
-            val[pl.ds(slot, 1), :] = row[0:1, :]
+            if hbm:
+                rw = pk._cat([rho_w, jnp.zeros((128 * KR - W8, 8),
+                                               jnp.int32)]).T  # [8, WH]
+                for k2 in range(KR):
+                    hrows[k2, t:t + 1, :] = rw[0:1,
+                                               128 * k2:128 * (k2 + 1)]
+                _scatter_row(hrows, t, val, slot, KR, sem)
+            else:
+                val[pl.ds(slot, 1), :] = row[0:1, :]
             # stage for the batched Hensel lift (lane t of the lift
             # scratch): odd part + trailing zero count
             tzr = pk.trailing_zero_bits(rho_w)                  # [1, 8]
@@ -227,6 +371,14 @@ def _factor_kernel(h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
                     == t).astype(jnp.int32)
             ld[:] = jnp.where(lane != 0, odd[:, 0:1], ld[:])
             ltz[:] = jnp.where(lane != 0, tzr[:, 0:1], ltz[:])
+
+    if hbm:
+        # pivot writes must land before the passes gather them
+        for t in range(H):
+            @pl.when(h_step[0, 0, t] >= 0)
+            def _hww():
+                _scatter_row(hrows, t, val, h_slot[0, 0, t], KR, sem,
+                              wait=True)
 
     # ---------------- phase A2: batched Hensel lift -------------------
     @pl.when(any_heads)
@@ -257,14 +409,15 @@ def _factor_kernel(h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
                     tzT[t:t + 1, :], (1, 8))
 
     # ---------------- phases B and C: the two batched passes ----------
+    vh = (hbm, hbm, hbm)
     _pass_body(C1, W8, W8, W8, WN, WI8, E, cnts[0, 0, 1], ev1, val, val,
                SMT, GT, TZ, gat_t, gat_m, gat_a, gat_b, gat_g, gat_z,
                scat, (mT1, bT1, iT1, acc0a, acc1a), flag_ref, val,
-               flag_slot=3)
+               flag_slot=3, hbm=vh, sem=sem, KR=KR)
     _pass_body(C2, W8, W8, W8, WN, WI8, E, cnts[0, 0, 2], ev2, val, val,
                SMT, GT, TZ, gat_t, gat_m, gat_a, gat_b, gat_g, gat_z,
                scat, (mT2, bT2, iT2, acc0b, acc1b), flag_ref, val,
-               flag_slot=4)
+               flag_slot=4, hbm=vh, sem=sem, KR=KR)
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _fin():
@@ -276,16 +429,60 @@ def _factor_kernel(h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n", "E", "W8", "WN", "WI8", "H", "C1", "C2"))
+    "n", "E", "W8", "WN", "WI8", "H", "C1", "C2", "hbm"))
 def factor_fused(n, E, W8, WN, WI8, H, C1, C2,
-                 h_step, h_slot, h_div, cnts, ev1, ev2, val_in):
-    """Run the whole factor stream. Returns (val, SMT, GT, TZ, flags)."""
+                 h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
+                 hbm=False):
+    """Run the whole factor stream. Returns (val, SMT, GT, TZ, flags).
+
+    val_in is [E8, W8] (VMEM mode) or [E8, WH] with WH = W8 rounded to
+    128 lanes (HBM mode — chosen by val_table_in_hbm)."""
     nc = h_step.shape[0]
     E8 = _r8(E + 1)
     n8 = _r8(n + 2)
+    KR = val_in.shape[0] // E8 if hbm else 1
+    WV = val_in.shape[1]
     kern = functools.partial(
         _factor_kernel, n=n, E=E, W8=W8, WN=WN, WI8=WI8, H=H, C1=C1,
-        C2=C2)
+        C2=C2, hbm=hbm, KR=KR)
+    val_space = (pl.BlockSpec(memory_space=pltpu.ANY) if hbm else
+                 pl.BlockSpec((E8, W8), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM))
+    gshape = ((KR, C2, 128) if hbm else (C2, W8))
+    scratch = [
+        pltpu.VMEM(gshape, jnp.int32),        # gat_t
+        pltpu.VMEM((C2, W8), jnp.int32),      # gat_m
+        pltpu.VMEM(gshape, jnp.int32),        # gat_a
+        pltpu.VMEM(gshape, jnp.int32),        # gat_b
+        pltpu.VMEM((C2, WI8), jnp.int32),     # gat_g
+        pltpu.VMEM((C2, 8), jnp.int32),       # gat_z
+        pltpu.VMEM(gshape, jnp.int32),        # scat
+        pltpu.VMEM((W8, C1), jnp.int32),      # mT1
+        pltpu.VMEM((W8, C1), jnp.int32),      # bT1
+        pltpu.VMEM((WN, C1), jnp.int32),      # iT1
+        pltpu.VMEM((2 * WN + 24, C1), jnp.int32),   # acc0a
+        pltpu.VMEM((2 * WN + 24, C1), jnp.int32),   # acc1a
+        pltpu.VMEM((W8, C2), jnp.int32),      # mT2
+        pltpu.VMEM((W8, C2), jnp.int32),      # bT2
+        pltpu.VMEM((WN, C2), jnp.int32),      # iT2
+        pltpu.VMEM((2 * WN + 24, C2), jnp.int32),   # acc0b
+        pltpu.VMEM((2 * WN + 24, C2), jnp.int32),   # acc1b
+        pltpu.VMEM((W8, 8), jnp.int32),       # hm
+        pltpu.VMEM((WN, 8), jnp.int32),       # hi
+        pltpu.VMEM((WN, 8), jnp.int32),       # hr
+        pltpu.VMEM((2 * WI8 + 24, 8), jnp.int32),   # hacc0
+        pltpu.VMEM((2 * WI8 + 24, 8), jnp.int32),   # hacc1
+        pltpu.VMEM((WI8, 8), jnp.int32),      # ld
+        pltpu.VMEM((WI8, 8), jnp.int32),      # lx
+        pltpu.VMEM((WI8, 8), jnp.int32),      # lu
+        pltpu.VMEM((1, 8), jnp.int32),        # ltz
+        pltpu.SMEM((8,), jnp.int32),          # flag_ref
+    ]
+    if hbm:
+        scratch += [
+            pltpu.VMEM((KR, max(H, 8), 128), jnp.int32),   # hrows
+            pltpu.SemaphoreType.DMA(()),              # sem (shared)
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nc,),
@@ -302,12 +499,10 @@ def factor_fused(n, E, W8, WN, WI8, H, C1, C2,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, C2, 5), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((E8, W8), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            val_space,
         ],
         out_specs=(
-            pl.BlockSpec((E8, W8), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            val_space,
             pl.BlockSpec((n8, W8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n8, WI8), lambda i: (0, 0),
@@ -317,40 +512,12 @@ def factor_fused(n, E, W8, WN, WI8, H, C1, C2,
             pl.BlockSpec((8, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((C2, W8), jnp.int32),      # gat_t
-            pltpu.VMEM((C2, W8), jnp.int32),      # gat_m
-            pltpu.VMEM((C2, W8), jnp.int32),      # gat_a
-            pltpu.VMEM((C2, W8), jnp.int32),      # gat_b
-            pltpu.VMEM((C2, WI8), jnp.int32),     # gat_g
-            pltpu.VMEM((C2, 8), jnp.int32),       # gat_z
-            pltpu.VMEM((C2, W8), jnp.int32),      # scat
-            pltpu.VMEM((W8, C1), jnp.int32),      # mT1
-            pltpu.VMEM((W8, C1), jnp.int32),      # bT1
-            pltpu.VMEM((WN, C1), jnp.int32),      # iT1
-            pltpu.VMEM((2 * WN + 24, C1), jnp.int32),   # acc0a
-            pltpu.VMEM((2 * WN + 24, C1), jnp.int32),   # acc1a
-            pltpu.VMEM((W8, C2), jnp.int32),      # mT2
-            pltpu.VMEM((W8, C2), jnp.int32),      # bT2
-            pltpu.VMEM((WN, C2), jnp.int32),      # iT2
-            pltpu.VMEM((2 * WN + 24, C2), jnp.int32),   # acc0b
-            pltpu.VMEM((2 * WN + 24, C2), jnp.int32),   # acc1b
-            pltpu.VMEM((W8, 8), jnp.int32),       # hm
-            pltpu.VMEM((WN, 8), jnp.int32),       # hi
-            pltpu.VMEM((WN, 8), jnp.int32),       # hr
-            pltpu.VMEM((2 * WI8 + 24, 8), jnp.int32),   # hacc0
-            pltpu.VMEM((2 * WI8 + 24, 8), jnp.int32),   # hacc1
-            pltpu.VMEM((WI8, 8), jnp.int32),      # ld
-            pltpu.VMEM((WI8, 8), jnp.int32),      # lx
-            pltpu.VMEM((WI8, 8), jnp.int32),      # lu
-            pltpu.VMEM((1, 8), jnp.int32),        # ltz
-            pltpu.SMEM((8,), jnp.int32),          # flag_ref
-        ],
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
         kern,
         out_shape=(
-            jax.ShapeDtypeStruct((E8, W8), jnp.int32),
+            jax.ShapeDtypeStruct(val_in.shape, jnp.int32),
             jax.ShapeDtypeStruct((n8, W8), jnp.int32),
             jax.ShapeDtypeStruct((n8, WI8), jnp.int32),
             jax.ShapeDtypeStruct((n8, 8), jnp.int32),
@@ -370,7 +537,8 @@ def _solve_kernel(cnts, ev1, ev2, val, SMT, GT, TZ, X_in,
                   gat_t, gat_m, gat_a, gat_b, gat_g, gat_z, scat,
                   mT1, bT1, iT1, acc0a, acc1a,
                   mT2, bT2, iT2, acc0b, acc1b, flag_ref,
-                  *, n, E, W8, Ws8, WNS, WI8, C1, C2):
+                  *extra, n, E, W8, Ws8, WNS, WI8, C1, C2, hbm, KR):
+    sem = extra[0] if hbm else None
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -379,14 +547,15 @@ def _solve_kernel(cnts, ev1, ev2, val, SMT, GT, TZ, X_in,
         for fi in range(8):
             flag_ref[fi] = 0
 
+    vh = (False, hbm, False)
     _pass_body(C1, Ws8, Ws8, W8, WNS, WI8, n, cnts[0, 0, 1], ev1, X, val,
                SMT, GT, TZ, gat_t, gat_m, gat_a, gat_b, gat_g, gat_z,
                scat, (mT1, bT1, iT1, acc0a, acc1a), flag_ref, X,
-               flag_slot=3)
+               flag_slot=3, hbm=vh, sem=sem, KR=KR)
     _pass_body(C2, Ws8, Ws8, W8, WNS, WI8, n, cnts[0, 0, 2], ev2, X, val,
                SMT, GT, TZ, gat_t, gat_m, gat_a, gat_b, gat_g, gat_z,
                scat, (mT2, bT2, iT2, acc0b, acc1b), flag_ref, X,
-               flag_slot=4)
+               flag_slot=4, hbm=vh, sem=sem, KR=KR)
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _fin():
@@ -398,17 +567,45 @@ def _solve_kernel(cnts, ev1, ev2, val, SMT, GT, TZ, X_in,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n", "E", "W8", "Ws8", "WNS", "WI8", "C1", "C2"))
+    "n", "E", "W8", "Ws8", "WNS", "WI8", "C1", "C2", "hbm"))
 def solve_fused(n, E, W8, Ws8, WNS, WI8, C1, C2,
-                cnts, ev1, ev2, val, SMT, GT, TZ, X_in):
+                cnts, ev1, ev2, val, SMT, GT, TZ, X_in, hbm=False):
     """Run the solve stream (fwd + det + bwd). Returns (X, flags)."""
     nc = ev1.shape[0]
-    E8 = val.shape[0]
     n8 = SMT.shape[0]
     X8 = _r8(n + 1)
+    E8 = _r8(E + 1)
+    KR = val.shape[0] // E8 if hbm else 1
+    WV = val.shape[1]
     kern = functools.partial(
         _solve_kernel, n=n, E=E, W8=W8, Ws8=Ws8, WNS=WNS, WI8=WI8,
-        C1=C1, C2=C2)
+        C1=C1, C2=C2, hbm=hbm, KR=KR)
+    val_space = (pl.BlockSpec(memory_space=pltpu.ANY) if hbm else
+                 pl.BlockSpec((val.shape[0], W8), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM))
+    scratch = [
+        pltpu.VMEM((C2, Ws8), jnp.int32),     # gat_t
+        pltpu.VMEM((C2, W8), jnp.int32),      # gat_m
+        pltpu.VMEM((KR, C2, 128) if hbm else (C2, W8),
+                   jnp.int32),                # gat_a
+        pltpu.VMEM((C2, Ws8), jnp.int32),     # gat_b
+        pltpu.VMEM((C2, WI8), jnp.int32),     # gat_g
+        pltpu.VMEM((C2, 8), jnp.int32),       # gat_z
+        pltpu.VMEM((C2, Ws8), jnp.int32),     # scat
+        pltpu.VMEM((W8, C1), jnp.int32),      # mT1
+        pltpu.VMEM((Ws8, C1), jnp.int32),     # bT1
+        pltpu.VMEM((WNS, C1), jnp.int32),     # iT1
+        pltpu.VMEM((2 * WNS + 24, C1), jnp.int32),  # acc0a
+        pltpu.VMEM((2 * WNS + 24, C1), jnp.int32),  # acc1a
+        pltpu.VMEM((W8, C2), jnp.int32),      # mT2
+        pltpu.VMEM((Ws8, C2), jnp.int32),     # bT2
+        pltpu.VMEM((WNS, C2), jnp.int32),     # iT2
+        pltpu.VMEM((2 * WNS + 24, C2), jnp.int32),  # acc0b
+        pltpu.VMEM((2 * WNS + 24, C2), jnp.int32),  # acc1b
+        pltpu.SMEM((8,), jnp.int32),          # flag_ref
+    ]
+    if hbm:
+        scratch.append(pltpu.SemaphoreType.DMA(()))  # sem (shared)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nc,),
@@ -419,8 +616,7 @@ def solve_fused(n, E, W8, Ws8, WNS, WI8, C1, C2,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, C2, 5), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((E8, W8), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            val_space,
             pl.BlockSpec((n8, W8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n8, WI8), lambda i: (0, 0),
@@ -436,26 +632,7 @@ def solve_fused(n, E, W8, Ws8, WNS, WI8, C1, C2,
             pl.BlockSpec((8, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((C2, Ws8), jnp.int32),     # gat_t
-            pltpu.VMEM((C2, W8), jnp.int32),      # gat_m
-            pltpu.VMEM((C2, W8), jnp.int32),      # gat_a
-            pltpu.VMEM((C2, Ws8), jnp.int32),     # gat_b
-            pltpu.VMEM((C2, WI8), jnp.int32),     # gat_g
-            pltpu.VMEM((C2, 8), jnp.int32),       # gat_z
-            pltpu.VMEM((C2, Ws8), jnp.int32),     # scat
-            pltpu.VMEM((W8, C1), jnp.int32),      # mT1
-            pltpu.VMEM((Ws8, C1), jnp.int32),     # bT1
-            pltpu.VMEM((WNS, C1), jnp.int32),     # iT1
-            pltpu.VMEM((2 * WNS + 24, C1), jnp.int32),  # acc0a
-            pltpu.VMEM((2 * WNS + 24, C1), jnp.int32),  # acc1a
-            pltpu.VMEM((W8, C2), jnp.int32),      # mT2
-            pltpu.VMEM((Ws8, C2), jnp.int32),     # bT2
-            pltpu.VMEM((WNS, C2), jnp.int32),     # iT2
-            pltpu.VMEM((2 * WNS + 24, C2), jnp.int32),  # acc0b
-            pltpu.VMEM((2 * WNS + 24, C2), jnp.int32),  # acc1b
-            pltpu.SMEM((8,), jnp.int32),          # flag_ref
-        ],
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
         kern,
@@ -472,10 +649,10 @@ def solve_fused(n, E, W8, Ws8, WNS, WI8, C1, C2,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n", "E", "W8", "Ws8", "WN", "WNS", "WI8", "H", "C1", "C2"))
+    "n", "E", "W8", "Ws8", "WN", "WNS", "WI8", "H", "C1", "C2", "hbm"))
 def fused_solve_all(n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2,
                     h_step, h_slot, h_div, fcnt, fev1, fev2,
-                    scnt, sev1, sev2, val_in, b_rows):
+                    scnt, sev1, sev2, val_in, b_rows, hbm=False):
     """ONE XLA program for the whole exact solve: factor stream, every
     RHS solve stream, and a single flat int32 result vector
 
@@ -489,7 +666,7 @@ def fused_solve_all(n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2,
     """
     val_d, SMT_d, GT_d, TZ_d, fflags = factor_fused(
         n, E, W8, WN, WI8, H, C1, C2, h_step, h_slot, h_div, fcnt,
-        fev1, fev2, val_in)
+        fev1, fev2, val_in, hbm=hbm)
     parts = [fflags[0, :2], SMT_d[n, :]]
     X8 = _r8(n + 1)
     nrhs, _, Wb = b_rows.shape
@@ -503,7 +680,7 @@ def fused_solve_all(n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2,
         xarr = jnp.zeros((X8, Ws8), jnp.int32).at[:n].set(col)
         X_d, sflags = solve_fused(
             n, E, W8, Ws8, WNS, WI8, C1, C2, scnt, sev1, sev2,
-            val_d, SMT_d, GT_d, TZ_d, xarr)
+            val_d, SMT_d, GT_d, TZ_d, xarr, hbm=hbm)
         parts.append(sflags[0, :2])
         parts.append(X_d[:n].reshape(-1))
     return jnp.concatenate(parts)
