@@ -31,8 +31,8 @@ def _system(n, nrhs=1, density=0.3, seed=0, lo=-9, hi=10):
 @pytest.mark.parametrize("n,H,C1,C2,nrhs,seed", [
     (7, 2, 4, 8, 1, 1),
     (15, 4, 8, 16, 1, 2),
-    (24, 8, 16, 32, 2, 3),
-    (40, 8, 32, 64, 1, 4),
+    pytest.param(24, 8, 16, 32, 2, 3, marks=pytest.mark.slow),
+    pytest.param(40, 8, 32, 64, 1, 4, marks=pytest.mark.slow),
 ])
 def test_fused_matches_oracle(n, H, C1, C2, nrhs, seed):
     A, b = _system(n, nrhs=nrhs, seed=seed)
@@ -46,6 +46,7 @@ def test_fused_matches_oracle(n, H, C1, C2, nrhs, seed):
             assert x_f.x[i, c] == x_host.x[i, c], (i, c)
 
 
+@pytest.mark.slow
 def test_fused_widen_retry_with_clamp():
     """max_limbs clamps below the true width: the widen ladder must
     converge to the exact answer (overflow flags, never wrong bits)."""
@@ -89,6 +90,7 @@ def test_fused_singular_raises():
                                   pass2_events=8)
 
 
+@pytest.mark.slow
 def test_fused_corpus_grid8():
     from slip_lu_tpu.io import read_dense, read_triplet
     A = matrix_copy(read_triplet("data/ExampleMats/grid8_mat.txt"),

@@ -51,6 +51,7 @@ def _assert_exact_or_clean(backend, max_limbs, A, b, x_ref):
         assert x.x[i, 0] == x_ref.x[i, 0], (backend, max_limbs, i)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("backend", ["tpu", "tpu-sparse"])
 @pytest.mark.parametrize("max_limbs", [2, 3, 4, 6])
 def test_overflow_injection_sweep_xla(backend, max_limbs):
@@ -60,6 +61,7 @@ def test_overflow_injection_sweep_xla(backend, max_limbs):
     _assert_exact_or_clean(backend, max_limbs, A, b, x_ref)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("max_limbs", [2, 4])
 def test_overflow_injection_sweep_fused(max_limbs):
     """Fused Pallas path (interpreter on CPU): small system, same law."""
@@ -68,6 +70,7 @@ def test_overflow_injection_sweep_fused(max_limbs):
     _assert_exact_or_clean("tpu-fused", max_limbs, A, b, x_ref)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("backend", ["tpu", "tpu-sparse"])
 def test_overflow_injection_huge_entries(backend):
     """10^15-scale entries with a tight clamp: the ladder must cross
@@ -93,3 +96,10 @@ def test_optimistic_width_ladder_fused():
     x2 = factorize_solve_tpu_fused(A, ana, b, opts)
     assert last_stats().retries == 0  # warm solve pays zero retries
     assert all(x2.x[i, 0] == x_ref.x[i, 0] for i in range(A.n))
+
+
+def test_overflow_injection_quick():
+    """Fast default-gate version of the sweep: one clamp, one backend."""
+    A, b = _system(7, seed=31, lo=-10**5, hi=10**5)
+    x_ref = backslash(A, b, Type.MPQ, Options())
+    _assert_exact_or_clean("tpu-sparse", 3, A, b, x_ref)

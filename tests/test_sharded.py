@@ -39,7 +39,9 @@ def _assert_equal(x1, x2):
             assert x1.x[i, j] == x2.x[i, j], (i, j)
 
 
-@pytest.mark.parametrize("ndev", [1, 2, 4, 8])
+@pytest.mark.parametrize("ndev", [
+    1, 2, pytest.param(4, marks=pytest.mark.slow),
+    pytest.param(8, marks=pytest.mark.slow)])
 def test_sharded_matches_host_oracle(ndev):
     A, b = _random_system(11, seed=3)
     opts = Options()
@@ -49,7 +51,9 @@ def test_sharded_matches_host_oracle(ndev):
     _assert_equal(x_host, x_shard)
 
 
-@pytest.mark.parametrize("pivot", list(Pivot))
+@pytest.mark.parametrize("pivot", [
+    p if p.name in ("SMALLEST", "DIAGONAL")
+    else pytest.param(p, marks=pytest.mark.slow) for p in Pivot])
 def test_sharded_all_pivot_schemes(pivot):
     A, b = _random_system(9, seed=11)
     opts = Options(pivot=pivot)

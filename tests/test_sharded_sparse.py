@@ -39,7 +39,9 @@ def _assert_equal(x1, x2):
             assert x1.x[i, j] == x2.x[i, j], (i, j)
 
 
-@pytest.mark.parametrize("ndev", [1, 2, 4, 8])
+@pytest.mark.parametrize("ndev", [
+    1, 2, pytest.param(4, marks=pytest.mark.slow),
+    pytest.param(8, marks=pytest.mark.slow)])
 def test_sharded_sparse_matches_oracle(ndev):
     A, b = _system(17, seed=2)
     opts = Options()
@@ -72,7 +74,8 @@ def test_sharded_sparse_cancellation_fallback():
     _assert_equal(backslash(A, b, Type.MPQ, opts), x)
 
 
-@pytest.mark.parametrize("hosts", [2, 4])
+@pytest.mark.parametrize("hosts", [
+    2, pytest.param(4, marks=pytest.mark.slow)])
 def test_sharded_sparse_dcn_mesh_parity(hosts):
     """2-D (dcn, rows) mesh is bit-identical to 1-D with same device count.
 
