@@ -142,8 +142,9 @@ def _pass_body(C, Wt, Wo, W8, WN, WI8, E_dummy,
                cnt, ev_ref, tgt_ref, a_ref, SMT_ref, GT_ref, TZ_ref,
                gat_t, gat_m, gat_a, gat_b, gat_g, gat_z, scat,
                conv, flag_ref, b_src_ref, flag_slot=1,
-               hbm=(False, False, False), sem=None, KR=1):
-    mT, bT, iT, acc0, acc1 = conv
+               hbm=(False, False, False), sem=None, KR=1,
+               has_ab=True, m0=None, d0=None):
+    mT, bT, iT, acc0, acc1, pA, pB, qb = conv
     """One batched pass: gather -> fix/update formula -> scatter.
 
     Wt: limb width of target rows (W8 for factor, Ws8 for solve);
@@ -154,6 +155,16 @@ def _pass_body(C, Wt, Wo, W8, WN, WI8, E_dummy,
     loops run cnt iterations, not capacity C; lanes >= cnt hold stale
     scratch whose (discarded) arithmetic is harmless, and the overflow
     reduction is masked to live lanes. An empty pass is skipped whole.
+
+    Shortcut structure (the uniform formula specialized per chunk):
+      * has_ab (STATIC): pass-1 events never carry a live A operand
+        (asserted by the stream builder), so the A*B product, its sign
+        corrections, and both gathers drop out of pass 1 entirely;
+      * m0 (traced per chunk): every event multiplies by SMT[0] = 1 —
+        the target IS the P side (back-substitution, pivot division);
+      * d0 (traced per chunk): every event divides by GT[0] = 1 — the
+        numerator IS the quotient (back-sub updates, determinant
+        scale). Together these cut ~6x off back-substitution chunks.
 
     hbm = (target, a, b) flags: HBM-resident sources gather by async
     row DMA (issue all, wait all); VMEM sources copy directly. An HBM
@@ -170,8 +181,6 @@ def _pass_body(C, Wt, Wo, W8, WN, WI8, E_dummy,
             t = ev_ref[0, e, 0]
             m_ = ev_ref[0, e, 1]
             d_ = ev_ref[0, e, 2]
-            a_ = ev_ref[0, e, 3]
-            b_ = ev_ref[0, e, 4]
             gat_m[pl.ds(e, 1), :] = SMT_ref[pl.ds(m_, 1), :]
             gat_g[pl.ds(e, 1), :] = GT_ref[pl.ds(d_, 1), :]
             gat_z[pl.ds(e, 1), :] = TZ_ref[pl.ds(d_, 1), :]
@@ -179,55 +188,83 @@ def _pass_body(C, Wt, Wo, W8, WN, WI8, E_dummy,
                 _gather_row(tgt_ref, t, gat_t, e, KR, sem)
             else:
                 gat_t[pl.ds(e, 1), :] = tgt_ref[pl.ds(t, 1), :]
-            if a_hbm:
-                _gather_row(a_ref, a_, gat_a, e, KR, sem)
-            else:
-                gat_a[pl.ds(e, 1), :] = a_ref[pl.ds(a_, 1), :]
-            if b_hbm:
-                _gather_row(b_src_ref, b_, gat_b, e, KR, sem)
-            else:
-                gat_b[pl.ds(e, 1), :] = b_src_ref[pl.ds(b_, 1), :]
+            if has_ab:
+                a_ = ev_ref[0, e, 3]
+                b_ = ev_ref[0, e, 4]
+                if a_hbm:
+                    _gather_row(a_ref, a_, gat_a, e, KR, sem)
+                else:
+                    gat_a[pl.ds(e, 1), :] = a_ref[pl.ds(a_, 1), :]
+                if b_hbm:
+                    _gather_row(b_src_ref, b_, gat_b, e, KR, sem)
+                else:
+                    gat_b[pl.ds(e, 1), :] = b_src_ref[pl.ds(b_, 1), :]
             return 0
 
         lax.fori_loop(0, cnt, gissue, 0)
 
-        if t_hbm or a_hbm or b_hbm:
+        if t_hbm or (has_ab and (a_hbm or b_hbm)):
             def gwait(e, _):
                 t = ev_ref[0, e, 0]
-                a_ = ev_ref[0, e, 3]
-                b_ = ev_ref[0, e, 4]
                 if t_hbm:
                     _gather_row(tgt_ref, t, gat_t, e, KR, sem, wait=True)
-                if a_hbm:
-                    _gather_row(a_ref, a_, gat_a, e, KR, sem, wait=True)
-                if b_hbm:
-                    _gather_row(b_src_ref, b_, gat_b, e, KR, sem,
-                                wait=True)
+                if has_ab:
+                    a_ = ev_ref[0, e, 3]
+                    b_ = ev_ref[0, e, 4]
+                    if a_hbm:
+                        _gather_row(a_ref, a_, gat_a, e, KR, sem,
+                                    wait=True)
+                    if b_hbm:
+                        _gather_row(b_src_ref, b_, gat_b, e, KR, sem,
+                                    wait=True)
                 return 0
 
             lax.fori_loop(0, cnt, gwait, 0)
 
         tT = _planes_T(gat_t, C, t_hbm)[:Wt]           # [Wt, C]
-        aT = _planes_T(gat_a, C, a_hbm)[:W8]           # [W8, C]
-        mT[:] = gat_m[:C, :].T                         # [W8, C]
-        bT[:] = _planes_T(gat_b, C, b_hbm)[:bT.shape[0]]   # [Wb, C]
         iT[:] = gat_g[:C, :].T[:WN]                    # [WN, C]
         tz = gat_z[:C, :].T[0:1]                       # [1, C]
-        Wb = bT.shape[0]
 
-        # p1 = target * rho_mult, p2 = A * B (unsigned convs + corrections)
-        p1u = pk.mul_mod(tT, mT, 0, W8, acc0, acc1, WN)
-        pos1, neg1 = _signed_terms(p1u, tT, mT[:], WN)
-        p2u = pk.mul_mod(aT, bT, 0, Wb, acc0, acc1, WN)
-        pos2, neg2 = _signed_terms(p2u, aT, bT[:], WN)
-        # num = (p1u + pos1 + neg2) - (p2u + pos2 + neg1), one sub
-        P = pk.carry_normalize(p1u + pos1 + neg2, 4 * MASK16)
-        N = pk.carry_normalize(p2u + pos2 + neg1, 4 * MASK16)
-        num = pk.sub_mod(P, N)
+        # P side: target * rho_mult (skipped whole when mult == 0)
+        @pl.when(m0)
+        def _pm0():
+            pA[:] = pk.sign_extend(tT, WN)
+            pB[:] = jnp.zeros_like(pB)
+
+        @pl.when(~m0)
+        def _pm1():
+            mT[:] = gat_m[:C, :].T                     # [W8, C]
+            p1u = pk.mul_mod(tT, mT, 0, W8, acc0, acc1, WN)
+            pos1, neg1 = _signed_terms(p1u, tT, mT[:], WN)
+            pA[:] = pk.carry_normalize(p1u + pos1, 2 * MASK16)
+            pB[:] = neg1                               # <= 2*MASK16/limb
+
+        if has_ab:
+            # N side: A * B (unsigned conv + sign corrections)
+            aT = _planes_T(gat_a, C, a_hbm)[:W8]       # [W8, C]
+            bT[:] = _planes_T(gat_b, C, b_hbm)[:bT.shape[0]]
+            Wb = bT.shape[0]
+            p2u = pk.mul_mod(aT, bT, 0, Wb, acc0, acc1, WN)
+            pos2, neg2 = _signed_terms(p2u, aT, bT[:], WN)
+            P = pk.carry_normalize(pA[:] + neg2, 3 * MASK16)
+            N = pk.carry_normalize(p2u + pos2 + pB[:], 4 * MASK16)
+            num = pk.sub_mod(P, N)
+        else:
+            num = pk.sub_mod(pA[:],
+                             pk.carry_normalize(pB[:], 2 * MASK16))
+
         # exact division by rho_div: shift out tz bits, multiply by the
         # Hensel inverse mod 2**(16*WN) — the true quotient fits in WN
-        shifted = pk.shr_bits(num, tz, W8)
-        q = pk.mul_mod(shifted, iT, 0, WN, acc0, acc1, WN)
+        @pl.when(d0)
+        def _qd0():
+            qb[:] = num
+
+        @pl.when(~d0)
+        def _qd1():
+            shifted = pk.shr_bits(num, tz, W8)
+            qb[:] = pk.mul_mod(shifted, iT, 0, WN, acc0, acc1, WN)
+
+        q = qb[:]
         lane = lax.broadcasted_iota(jnp.int32, (1, C), 1)
         ovf = (~pk.fits_in(q, Wo)) & (lane < cnt)
         anyovf = jnp.max(ovf.astype(jnp.int32))
@@ -264,8 +301,8 @@ def _pass_body(C, Wt, Wo, W8, WN, WI8, E_dummy,
 def _factor_kernel(h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
                    val, SMT, GT, TZ, flags,
                    gat_t, gat_m, gat_a, gat_b, gat_g, gat_z, scat,
-                   mT1, bT1, iT1, acc0a, acc1a,
-                   mT2, bT2, iT2, acc0b, acc1b,
+                   mT1, bT1, iT1, acc0a, acc1a, pA1, pB1, qb1,
+                   mT2, bT2, iT2, acc0b, acc1b, pA2, pB2, qb2,
                    hm, hi, hr, hacc0, hacc1, ld, lx, lu, ltz, flag_ref,
                    *extra, n, E, W8, WN, WI8, H, C1, C2, hbm, KR):
     if hbm:
@@ -410,14 +447,17 @@ def _factor_kernel(h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
 
     # ---------------- phases B and C: the two batched passes ----------
     vh = (hbm, hbm, hbm)
+    fl = cnts[0, 0, 3]
     _pass_body(C1, W8, W8, W8, WN, WI8, E, cnts[0, 0, 1], ev1, val, val,
                SMT, GT, TZ, gat_t, gat_m, gat_a, gat_b, gat_g, gat_z,
-               scat, (mT1, bT1, iT1, acc0a, acc1a), flag_ref, val,
-               flag_slot=3, hbm=vh, sem=sem, KR=KR)
+               scat, (mT1, bT1, iT1, acc0a, acc1a, pA1, pB1, qb1),
+               flag_ref, val, flag_slot=3, hbm=vh, sem=sem, KR=KR,
+               has_ab=False, m0=(fl & 1) != 0, d0=(fl & 4) != 0)
     _pass_body(C2, W8, W8, W8, WN, WI8, E, cnts[0, 0, 2], ev2, val, val,
                SMT, GT, TZ, gat_t, gat_m, gat_a, gat_b, gat_g, gat_z,
-               scat, (mT2, bT2, iT2, acc0b, acc1b), flag_ref, val,
-               flag_slot=4, hbm=vh, sem=sem, KR=KR)
+               scat, (mT2, bT2, iT2, acc0b, acc1b, pA2, pB2, qb2),
+               flag_ref, val, flag_slot=4, hbm=vh, sem=sem, KR=KR,
+               has_ab=True, m0=(fl & 2) != 0, d0=(fl & 8) != 0)
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _fin():
@@ -462,11 +502,17 @@ def factor_fused(n, E, W8, WN, WI8, H, C1, C2,
         pltpu.VMEM((WN, C1), jnp.int32),      # iT1
         pltpu.VMEM((2 * WN + 24, C1), jnp.int32),   # acc0a
         pltpu.VMEM((2 * WN + 24, C1), jnp.int32),   # acc1a
+        pltpu.VMEM((WN, C1), jnp.int32),      # pA1
+        pltpu.VMEM((WN, C1), jnp.int32),      # pB1
+        pltpu.VMEM((WN, C1), jnp.int32),      # qb1
         pltpu.VMEM((W8, C2), jnp.int32),      # mT2
         pltpu.VMEM((W8, C2), jnp.int32),      # bT2
         pltpu.VMEM((WN, C2), jnp.int32),      # iT2
         pltpu.VMEM((2 * WN + 24, C2), jnp.int32),   # acc0b
         pltpu.VMEM((2 * WN + 24, C2), jnp.int32),   # acc1b
+        pltpu.VMEM((WN, C2), jnp.int32),      # pA2
+        pltpu.VMEM((WN, C2), jnp.int32),      # pB2
+        pltpu.VMEM((WN, C2), jnp.int32),      # qb2
         pltpu.VMEM((W8, 8), jnp.int32),       # hm
         pltpu.VMEM((WN, 8), jnp.int32),       # hi
         pltpu.VMEM((WN, 8), jnp.int32),       # hr
@@ -535,8 +581,8 @@ def factor_fused(n, E, W8, WN, WI8, H, C1, C2,
 def _solve_kernel(cnts, ev1, ev2, val, SMT, GT, TZ, X_in,
                   X, flags,
                   gat_t, gat_m, gat_a, gat_b, gat_g, gat_z, scat,
-                  mT1, bT1, iT1, acc0a, acc1a,
-                  mT2, bT2, iT2, acc0b, acc1b, flag_ref,
+                  mT1, bT1, iT1, acc0a, acc1a, pA1, pB1, qb1,
+                  mT2, bT2, iT2, acc0b, acc1b, pA2, pB2, qb2, flag_ref,
                   *extra, n, E, W8, Ws8, WNS, WI8, C1, C2, hbm, KR):
     sem = extra[0] if hbm else None
     i = pl.program_id(0)
@@ -548,14 +594,17 @@ def _solve_kernel(cnts, ev1, ev2, val, SMT, GT, TZ, X_in,
             flag_ref[fi] = 0
 
     vh = (False, hbm, False)
+    fl = cnts[0, 0, 3]
     _pass_body(C1, Ws8, Ws8, W8, WNS, WI8, n, cnts[0, 0, 1], ev1, X, val,
                SMT, GT, TZ, gat_t, gat_m, gat_a, gat_b, gat_g, gat_z,
-               scat, (mT1, bT1, iT1, acc0a, acc1a), flag_ref, X,
-               flag_slot=3, hbm=vh, sem=sem, KR=KR)
+               scat, (mT1, bT1, iT1, acc0a, acc1a, pA1, pB1, qb1),
+               flag_ref, X, flag_slot=3, hbm=vh, sem=sem, KR=KR,
+               has_ab=False, m0=(fl & 1) != 0, d0=(fl & 4) != 0)
     _pass_body(C2, Ws8, Ws8, W8, WNS, WI8, n, cnts[0, 0, 2], ev2, X, val,
                SMT, GT, TZ, gat_t, gat_m, gat_a, gat_b, gat_g, gat_z,
-               scat, (mT2, bT2, iT2, acc0b, acc1b), flag_ref, X,
-               flag_slot=4, hbm=vh, sem=sem, KR=KR)
+               scat, (mT2, bT2, iT2, acc0b, acc1b, pA2, pB2, qb2),
+               flag_ref, X, flag_slot=4, hbm=vh, sem=sem, KR=KR,
+               has_ab=True, m0=(fl & 2) != 0, d0=(fl & 8) != 0)
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _fin():
@@ -597,11 +646,17 @@ def solve_fused(n, E, W8, Ws8, WNS, WI8, C1, C2,
         pltpu.VMEM((WNS, C1), jnp.int32),     # iT1
         pltpu.VMEM((2 * WNS + 24, C1), jnp.int32),  # acc0a
         pltpu.VMEM((2 * WNS + 24, C1), jnp.int32),  # acc1a
+        pltpu.VMEM((WNS, C1), jnp.int32),     # pA1
+        pltpu.VMEM((WNS, C1), jnp.int32),     # pB1
+        pltpu.VMEM((WNS, C1), jnp.int32),     # qb1
         pltpu.VMEM((W8, C2), jnp.int32),      # mT2
         pltpu.VMEM((Ws8, C2), jnp.int32),     # bT2
         pltpu.VMEM((WNS, C2), jnp.int32),     # iT2
         pltpu.VMEM((2 * WNS + 24, C2), jnp.int32),  # acc0b
         pltpu.VMEM((2 * WNS + 24, C2), jnp.int32),  # acc1b
+        pltpu.VMEM((WNS, C2), jnp.int32),     # pA2
+        pltpu.VMEM((WNS, C2), jnp.int32),     # pB2
+        pltpu.VMEM((WNS, C2), jnp.int32),     # qb2
         pltpu.SMEM((8,), jnp.int32),          # flag_ref
     ]
     if hbm:

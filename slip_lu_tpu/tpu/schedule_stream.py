@@ -88,9 +88,16 @@ class _ChunkBuilder:
         that slot was emitted (stream order would invert).
     """
 
-    def __init__(self, H: int, C1: int, C2: int, dummy_target: int):
+    def __init__(self, H: int, C1: int, C2: int, dummy_target: int,
+                 dummy_a: Optional[int] = None,
+                 dummy_b: Optional[int] = None):
+        # target/A/B dummies live in different index spaces for the
+        # solve stream (targets are X rows, A is a value slot, B is an
+        # X row) — conflating them broke the pass-1 A==dummy invariant
         self.H, self.C1, self.C2 = H, C1, C2
         self.dummy = dummy_target
+        self.dummy_a = dummy_target if dummy_a is None else dummy_a
+        self.dummy_b = dummy_target if dummy_b is None else dummy_b
         self.h: List[List[int]] = []
         self.p1: List[List[int]] = []
         self.p2: List[List[int]] = []
@@ -145,9 +152,9 @@ class _ChunkBuilder:
             if (target in self.w1 or target in self.w2
                     or target in self.r2 or len(self.p1) == self.C1):
                 self._flush()
-            self.p1.append([target, mult, div, self.dummy, self.dummy]
-                           if a == self.dummy and b == self.dummy
-                           else [target, mult, div, a, b])
+            assert a == self.dummy_a, (
+                "pass-1 events must not carry a live A operand")
+            self.p1.append([target, mult, div, self.dummy_a, b])
             self.w1.add(target)
         self.events += 1
 
@@ -158,14 +165,15 @@ class _ChunkBuilder:
                 or a in self.w2 or b in self.w2
                 or len(self.p1) == self.C1 or len(self.p2) == self.C2):
             self._flush()
-        self.p1.append([target, fix_mult, fix_div, self.dummy, self.dummy])
+        self.p1.append([target, fix_mult, fix_div, self.dummy_a,
+                        self.dummy_b])
         self.p2.append([target, upd_mult, upd_div, a, b])
         self.w1.add(target)
         self.w2.add(target)
         self.r2.update((target, a, b))
         self.events += 2
 
-    def finish(self, dummy_b: Optional[int] = None) -> StreamChunks:
+    def finish(self) -> StreamChunks:
         self._flush()
         nc = max(1, len(self.chunks))
         H, C1, C2 = self.H, self.C1, self.C2
@@ -176,8 +184,8 @@ class _ChunkBuilder:
         ev2 = np.zeros((nc, C2, 5), np.int32)
         for ev in (ev1, ev2):
             ev[:, :, 0] = self.dummy
-            ev[:, :, 3] = self.dummy
-            ev[:, :, 4] = self.dummy if dummy_b is None else dummy_b
+            ev[:, :, 3] = self.dummy_a
+            ev[:, :, 4] = self.dummy_b
         counts = np.zeros((nc, 4), np.int32)
         used = 0
         for c, (h, p1, p2) in enumerate(self.chunks):
@@ -189,7 +197,21 @@ class _ChunkBuilder:
                 ev1[c, t] = e
             for t, e in enumerate(p2):
                 ev2[c, t] = e
-            counts[c] = (len(h), len(p1), len(p2), 0)
+            # counts[:, 3] carries per-pass shortcut flags the kernels
+            # branch on: bit0/bit1 = every pass-1/pass-2 event has
+            # mult == 0 (SMT[0] = 1: skip the t*rho product), bit2/bit3
+            # likewise div == 0 (GT[0] = identity: skip the Hensel
+            # division). Back-substitution chunks set all of bit1|bit3.
+            flags = 0
+            if p1 and all(e[1] == 0 for e in p1):
+                flags |= 1
+            if p2 and all(e[1] == 0 for e in p2):
+                flags |= 2
+            if p1 and all(e[2] == 0 for e in p1):
+                flags |= 4
+            if p2 and all(e[2] == 0 for e in p2):
+                flags |= 8
+            counts[c] = (len(h), len(p1), len(p2), flags)
             used += len(p1) + len(p2)
         fill = used / float(nc * (C1 + C2))
         return StreamChunks(h_step=h_step, h_slot=h_slot, h_div=h_div,
@@ -240,7 +262,8 @@ def build_event_stream(sched: SparseSchedule, heads_per_chunk: int = 8,
     # ---- solve stream: forward, determinant scale, backward -------------
     # targets are X rows 0..n-1 (dummy row n); operand A is a value slot,
     # operand B is an X row
-    sb = _ChunkBuilder(0, pass1_events, pass2_events, n)
+    sb = _ChunkBuilder(0, pass1_events, pass2_events, n,
+                       dummy_a=E, dummy_b=n)
     for k in range(n):
         h = int(sched.fwd_xk_hist[k])
         if h != k:
@@ -266,7 +289,15 @@ def build_event_stream(sched: SparseSchedule, heads_per_chunk: int = 8,
             if g >= E:
                 continue
             sb.add(int(sched.bwd_row[j, a]), 0, 0, g, j, pass2=True)
-    solve = sb.finish(dummy_b=n)
+    solve = sb.finish()
+
+    # pass-1 events NEVER carry a real A operand (every fix, determinant
+    # scale, and pivot division multiplies the zero dummy value slot) —
+    # the kernels rely on this to skip the A*B product statically
+    for sc in (factor, solve):
+        for c in range(sc.nchunks):
+            n1 = int(sc.counts[c, 1])
+            assert (sc.ev1[c, :n1, 3] == E).all(), c
 
     row_of = np.concatenate([sched.row_of, [np.int32(n)]]).astype(np.int32)
     return EventStream(n=n, nnz=E, init_pos=sched.init_pos, row_of=row_of,
