@@ -40,9 +40,9 @@ from ..options import Options
 from ..stats import SolveStats, phase_timer, record
 from .bounds import (_input_width, factor_width, hadamard_bits,
                      solve_width)
-from .factor_fused import (fused_solve_all, ints_to_tc_rows,
-                           tc_rows_to_ints, val_table_in_hbm,
-                           _r8, _r128)
+from .factor_fused import (fused_solve_all, fused_solve_many,
+                           ints_to_tc_rows, tc_rows_to_ints,
+                           val_table_in_hbm, _r8, _r128)
 from .schedule import _permute_cols
 from .schedule_native import build_schedule_best
 from .schedule_stream import build_event_stream
@@ -82,6 +82,54 @@ def _tc_width(values, cap: int) -> int:
         if b > bits:
             bits = b
     return max(1, min(cap, -(-bits // 16)))
+
+
+def plan_segments(max_level, n: int, W: int, Wmin: int):
+    """Adaptive-width chunk segments: list of [lo, hi, W8s], widths
+    nondecreasing and ending at _r8(W).
+
+    Model: IPGE values at level L are k x k minors with k ~ L, whose
+    bit growth is ~linear in L for the matrices the corpus spans — a
+    level-L value needs ~W*(L+1)/n limbs. The model only steers the
+    INITIAL optimistic widths; every kernel write is overflow-checked,
+    so an undersized segment costs a per-segment widen-and-retry
+    (backslash loop below), never a wrong answer. Early segments run
+    the same events at a fraction of the width — the MAC cost per event
+    is quadratic in width (ops/pallas_limbs.mul_mod), which is where
+    wide-W matrices spend their time."""
+    nc = len(max_level)
+    W8 = _r8(W)
+    if W8 < 32 or nc < 16:
+        return [[0, nc, W8]]
+
+    def need(L):
+        return _r8(max(Wmin, (W * (L + 2)) // n + 2))
+
+    targets = sorted({max(_r8(W8 // 8), 8), _r8(W8 // 4),
+                      _r8(W8 // 2)} - {W8})
+    segs = []
+    lo = 0
+    for T in targets:
+        hi = lo
+        while hi < nc and need(int(max_level[hi])) <= T:
+            hi += 1
+        # slivers aren't worth a pallas_call + relift boundary
+        if hi - lo >= max(8, nc // 16):
+            segs.append([lo, hi, T])
+            lo = hi
+    segs.append([lo, nc, W8])
+    return segs
+
+
+def _merged(segplan):
+    """Collapse adjacent equal-width segments (after widen bumps)."""
+    out = []
+    for lo, hi, w in segplan:
+        if out and out[-1][2] == w:
+            out[-1][1] = hi
+        else:
+            out.append([lo, hi, w])
+    return tuple((lo, hi, w) for lo, hi, w in out)
 
 
 def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
@@ -171,6 +219,11 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
 
         sing = False
         sing_streak = 0
+        Wmin_in = max(2, W_in + 1)
+        segplan = None
+        scache = getattr(analysis, "fused_seg_cache", None)
+        if scache is not None and scache[0] == key and scache[1] == W:
+            segplan = [list(s) for s in scache[2]]
         while True:
             W8 = _r8(W)
             Ws8 = _r8(max(Ws, W + 1))
@@ -178,23 +231,30 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
             WNS = _r8(W8 + Ws8 + 2)
             WI8 = max(WN, WNS)
             st.W, st.Ws = W8, Ws8
+            if segplan is None:
+                segplan = plan_segments(es.factor.max_level, n, W,
+                                        Wmin_in)
+            segments = _merged(segplan)
+            segplan = [list(s) for s in segments]
+            S = len(segments)
+            w0 = segments[0][2]
             with phase_timer(st, "pack"):
-                # A's limb table is per-(schedule, W): upload once, reuse
-                # the device buffer across solves (fused_solve_all never
-                # donates its val argument)
+                # A's limb table is per-(schedule, first-segment width):
+                # upload once, reuse the device buffer across solves
+                # (fused_solve_all never donates its val argument)
                 E8 = _r8(E + 1)
                 # HBM mode: each slot stored as KR 128-lane rows (the
                 # DMA slice granularity; see factor_fused docstring)
-                hbm_mode = val_table_in_hbm(E8, W8)
-                WV = _r128(W8) if hbm_mode else W8
-                vkey = (key, W8)
+                hbm_mode = val_table_in_hbm(E8, w0)
+                WV = _r128(w0) if hbm_mode else w0
+                vkey = (key, w0)
                 vcache = getattr(analysis, "fused_val_cache", None)
                 if vcache is not None and vcache[0] == vkey:
                     val_dev = vcache[1]
                 else:
                     val_in = np.zeros((E8, WV), dtype=np.int32)
-                    val_in[np.asarray(es.init_pos), :W8] = ints_to_tc_rows(
-                        avals, W8)
+                    val_in[np.asarray(es.init_pos), :w0] = ints_to_tc_rows(
+                        avals, w0)
                     if hbm_mode:
                         val_in = val_in.reshape(E8 * (WV // 128), 128)
                     val_dev = jnp.asarray(val_in)
@@ -212,18 +272,25 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
                     pass1_events, pass2_events,
                     h_step, h_slot, h_div, fcnt, fev1, fev2,
                     scnt, sev1, sev2, val_dev, jnp.asarray(b_rows),
-                    hbm=hbm_mode)))
+                    hbm=hbm_mode, segments=segments)))
             o = 0
-            fflags_h = flat[o:o + 2]; o += 2
+            seg_sing = [bool(flat[o + 2 * s]) for s in range(S)]
+            seg_ovf = [bool(flat[o + 2 * s + 1]) for s in range(S)]
+            o += 2 * S
             det_row = flat[o:o + W8][None, :]; o += W8
             X_h, sflags_h = [], []
             for c in range(nrhs):
                 sflags_h.append(flat[o:o + 2]); o += 2
                 X_h.append(flat[o:o + n * Ws8].reshape(n, Ws8))
                 o += n * Ws8
-            sing = bool(fflags_h[0])
-            f_ovf = bool(fflags_h[1])
+            sing = any(seg_sing)
+            f_ovf = any(seg_ovf)
             s_ovf = any(bool(f[1]) for f in sflags_h)
+            # a sing with no overflow in the SAME or any EARLIER segment
+            # cannot be a truncation artifact: all arithmetic feeding
+            # that pivot was overflow-clean, so the cancellation is real
+            sing_clean = sing and not any(
+                seg_ovf[i] for i in range(seg_sing.index(True) + 1))
             # Flag trust order (each can fake the other): with NO factor
             # overflow, all arithmetic up to a zero pivot was exact, so
             # sing is genuine -> replan. With factor overflow below the
@@ -234,9 +301,23 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
             # cancellation whose downstream garbage keeps faking ovf —
             # replan rather than climb to the (possibly huge) bound.
             sing_streak = sing_streak + 1 if sing else 0
-            if sing and (not f_ovf or sing_streak >= 2):
+            if sing and (sing_clean or sing_streak >= 2):
                 break                       # genuine cancellation
             if f_ovf or s_ovf:
+                # only the FIRST overflowed segment's flag is
+                # trustworthy (its garbage feeds everything after it);
+                # widen it alone below the full width, escalate to the
+                # global ladder only when the full-width segment flags
+                first_bad = seg_ovf.index(True) if f_ovf else None
+                if (first_bad is not None
+                        and segplan[first_bad][2] < W8):
+                    segplan[first_bad][2] = min(
+                        2 * segplan[first_bad][2], W8)
+                    for s in range(first_bad + 1, S):
+                        segplan[s][2] = max(segplan[s][2],
+                                            segplan[first_bad][2])
+                    st.retries += 1
+                    continue
                 W2, Ws2 = W, Ws
                 if f_ovf:
                     W2 = min(2 * W, W_full)
@@ -249,11 +330,14 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
                     raise SlipLimbOverflowError(
                         "overflow persists at the analytic width bound "
                         f"(W={W}, Ws={Ws}) — internal invariant violated")
+                if W2 != W:
+                    segplan = None          # widths rescale with W
                 W, Ws = W2, Ws2
                 st.retries += 1
                 continue
             if options.max_limbs is None:
                 analysis.fused_width_cache = (W, Ws)
+                analysis.fused_seg_cache = (key, W, segments)
             with phase_timer(st, "unpack"):
                 det = tc_rows_to_ints(det_row)[0]
                 x = SlipMatrix.allocate(Kind.DENSE, Type.MPQ, n, nrhs)
@@ -284,3 +368,231 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
     record(st)
     from .backslash_tpu import factorize_solve_tpu
     return factorize_solve_tpu(A, analysis, b, options)
+
+
+def factorize_solve_tpu_fused_many(As, analysis, bs,
+                                   options: Optional[Options] = None,
+                                   heads_per_chunk: int = 8,
+                                   pass1_events: int = 32,
+                                   pass2_events: int = 128):
+    """Batched exact solves of pattern-sharing systems, fused path.
+
+    The SURVEY §2.10 data-parallel axis done the way this runtime wants
+    it: G matrices with identical (p, i) patterns share ONE schedule and
+    ONE event stream, each member ships its own value table, and every
+    factor+solve runs back to back inside ONE XLA program with ONE fetch
+    (factor_fused.fused_solve_many). On the tunneled chip the fixed
+    ~45 ms/dispatch dominates small solves, so this is ~G x faster than
+    G sequential calls — unlike the padded path's vmapped batching
+    (backslash_sparse.factorize_solve_tpu_sparse_many), whose
+    vmap-of-scatter lowering made it slower than sequential.
+
+    Members whose scheduled pivot hits an exact cancellation fall back
+    to the single-matrix driver individually (which replans around the
+    oracle's pivots); everything else stays batched. Returns a list of
+    dense MPQ solutions, one per system.
+    """
+    options = options or Options()
+    options.validate()
+    if not As or len(As) != len(bs):
+        raise SlipIncorrectInputError("As and bs must be equal-length, "
+                                      "nonempty lists")
+    A0 = As[0]
+    n = A0.n
+    for A in As:
+        if A.kind != Kind.CSC or A.type != Type.MPZ:
+            raise SlipIncorrectInputError(
+                "fused path requires CSC x MPZ input")
+    for A in As[1:]:
+        if A.n != n or not np.array_equal(A.p, A0.p) \
+                or not np.array_equal(A.i[:int(A.p[n])],
+                                      A0.i[:int(A0.p[n])]):
+            raise SlipIncorrectInputError(
+                "all matrices must share one sparsity pattern")
+    G = len(As)
+    bzs = [matrix_copy(b, Kind.DENSE, Type.MPZ, options) for b in bs]
+    nrhs = bzs[0].n
+    if any(bz.m != n or bz.n != nrhs for bz in bzs):
+        raise SlipIncorrectInputError("every b must be n x nrhs")
+    if n == 0:
+        return [SlipMatrix.allocate(Kind.DENSE, Type.MPQ, 0, nrhs)
+                for _ in range(G)]
+    st = SolveStats(backend="tpu-fused-many", n=n, nnz=int(A0.p[n]),
+                    nrhs=nrhs)
+    q = np.asarray(analysis.q, dtype=np.int64)
+
+    with phase_timer(st, "schedule"):
+        sched, r = build_schedule_best(A0, q, analysis.sparse_fixed_r)
+        es = build_event_stream(sched, heads_per_chunk, pass1_events,
+                                pass2_events)
+        (h_step, h_slot, h_div, fcnt, fev1, fev2,
+         scnt, sev1, sev2) = _stream_arrays(es)
+        avals_g = []
+        for A in As:
+            Aq = _permute_cols(A, q)
+            avals_g.append([int(Aq.x[idx]) for c in range(n)
+                            for idx in range(int(Aq.p[c]),
+                                             int(Aq.p[c + 1]))])
+    st.lnz, st.unz = es.lnz, es.unz
+    E = es.nnz
+
+    hb_g = [hadamard_bits(A) for A in As]
+    W_full = max(factor_width(A, hbits=hb)
+                 for A, hb in zip(As, hb_g))
+    Ws_full = max(solve_width(A, bz.x, W_full, n, hbits=hb)
+                  for A, bz, hb in zip(As, bzs, hb_g))
+    W_in = max(_input_width(av) for av in avals_g)
+    Wb_in = max(_input_width(bz.x.reshape(-1)) for bz in bzs)
+    if options.max_limbs is not None:
+        W = max(factor_width(A, options.max_limbs, hbits=hb)
+                for A, hb in zip(As, hb_g))
+        Ws = max(solve_width(A, bz.x, W, n, options.max_limbs, hbits=hb)
+                 for A, bz, hb in zip(As, bzs, hb_g))
+    else:
+        W = min(max(2, W_in + 1, min(-(-W_full // 16), 16)), W_full)
+        Ws = min(max(W + 1, Wb_in + 1, min(-(-Ws_full // 16), 32)),
+                 Ws_full)
+
+    Wmin_in = max(2, W_in + 1)
+    segplan = None
+    sing_streak = 0
+    while True:
+        W8 = _r8(W)
+        Ws8 = _r8(max(Ws, W + 1))
+        WN = _r8(2 * W8 + 2)
+        WNS = _r8(W8 + Ws8 + 2)
+        WI8 = max(WN, WNS)
+        st.W, st.Ws = W8, Ws8
+        if segplan is None:
+            segplan = plan_segments(es.factor.max_level, n, W, Wmin_in)
+        segments = _merged(segplan)
+        segplan = [list(s) for s in segments]
+        S = len(segments)
+        w0 = segments[0][2]
+        with phase_timer(st, "pack"):
+            E8 = _r8(E + 1)
+            hbm_mode = val_table_in_hbm(E8, w0)
+            WV = _r128(w0) if hbm_mode else w0
+            vstack = []
+            for av in avals_g:
+                val_in = np.zeros((E8, WV), dtype=np.int32)
+                val_in[np.asarray(es.init_pos), :w0] = ints_to_tc_rows(
+                    av, w0)
+                if hbm_mode:
+                    val_in = val_in.reshape(E8 * (WV // 128), 128)
+                vstack.append(val_in)
+            vstack = jnp.asarray(np.stack(vstack))
+            ball = []
+            Wb = 1
+            for bz in bzs:
+                bcols = [[int(bz.x[int(r[k]), c]) for k in range(n)]
+                         for c in range(nrhs)]
+                ball.append(bcols)
+                Wb = max(Wb, _tc_width(
+                    (v for col in bcols for v in col), Ws8))
+            b_stack = np.stack([
+                np.stack([ints_to_tc_rows(col, Wb) for col in bcols])
+                for bcols in ball])
+        with phase_timer(st, "device"):
+            flat = np.asarray(jax.device_get(fused_solve_many(
+                n, E, W8, Ws8, WN, WNS, WI8, heads_per_chunk,
+                pass1_events, pass2_events, G,
+                h_step, h_slot, h_div, fcnt, fev1, fev2,
+                scnt, sev1, sev2, vstack, jnp.asarray(b_stack),
+                hbm=hbm_mode, segments=segments)))
+        per = 2 * S + W8 + nrhs * (2 + n * Ws8)
+        g_sing, g_ovf, g_sovf = [], [], []
+        dets, Xs = [], []
+        for g in range(G):
+            o = per * g
+            seg_sing = [bool(flat[o + 2 * s]) for s in range(S)]
+            seg_ovf = [bool(flat[o + 2 * s + 1]) for s in range(S)]
+            o += 2 * S
+            dets.append(flat[o:o + W8][None, :]); o += W8
+            xh, sov = [], False
+            for c in range(nrhs):
+                sov = sov or bool(flat[o + 1]); o += 2
+                xh.append(flat[o:o + n * Ws8].reshape(n, Ws8))
+                o += n * Ws8
+            Xs.append(xh)
+            g_sing.append(any(seg_sing))
+            g_ovf.append(seg_ovf)
+            g_sovf.append(sov)
+        f_ovf = any(any(so) for so in g_ovf)
+        s_ovf = any(g_sovf)
+        sing = any(g_sing)
+
+        def _member_sing_clean(g):
+            # a member's sing is genuine iff no overflow hit the same
+            # or any earlier segment of THAT member (same rule as the
+            # single-matrix driver)
+            if not g_sing[g]:
+                return True
+            fs = next(s for s in range(S) if flat[per * g + 2 * s])
+            return not any(g_ovf[g][:fs + 1])
+
+        sing_clean = sing and all(_member_sing_clean(g)
+                                  for g in range(G))
+        sing_streak = sing_streak + 1 if sing else 0
+        if sing and (sing_clean or sing_streak >= 2):
+            break
+        if f_ovf or s_ovf:
+            first_bad = min((so.index(True) for so in g_ovf if any(so)),
+                            default=None)
+            if first_bad is not None and segplan[first_bad][2] < W8:
+                segplan[first_bad][2] = min(2 * segplan[first_bad][2],
+                                            W8)
+                for s in range(first_bad + 1, S):
+                    segplan[s][2] = max(segplan[s][2],
+                                        segplan[first_bad][2])
+                st.retries += 1
+                continue
+            W2, Ws2 = W, Ws
+            if f_ovf:
+                W2 = min(2 * W, W_full)
+            else:
+                Ws2 = min(2 * Ws, Ws_full)
+            Ws2 = max(Ws2, W2 + 1)
+            if (W2, Ws2) == (W, Ws):
+                if sing:
+                    break
+                raise SlipLimbOverflowError(
+                    "overflow persists at the analytic width bound "
+                    f"(W={W}, Ws={Ws}) — internal invariant violated")
+            if W2 != W:
+                segplan = None
+            W, Ws = W2, Ws2
+            st.retries += 1
+            continue
+        break
+
+    xs = []
+    with phase_timer(st, "unpack"):
+        for g in range(G):
+            # a member is unpackable only if NOTHING flagged on it in
+            # the final iteration (a sing-triggered break can leave
+            # other members mid-ladder with overflow garbage)
+            if g_sing[g] or any(g_ovf[g]) or g_sovf[g]:
+                xs.append(None)     # individual fallback below
+                continue
+            det = tc_rows_to_ints(dets[g])[0]
+            x = SlipMatrix.allocate(Kind.DENSE, Type.MPQ, n, nrhs)
+            factor = As[g].scale / bzs[g].scale
+            fnum, fden = factor.numerator, factor.denominator
+            den_all = det * fden
+            for c in range(nrhs):
+                xh = tc_rows_to_ints(Xs[g][c][:n])
+                for k in range(n):
+                    x.x[int(q[k]), c] = _mpq(xh[k] * fnum, den_all)
+            xs.append(x)
+    record(st)
+    for g in range(G):
+        if xs[g] is None:
+            # exact cancellation on this member's scheduled pivot:
+            # the single-matrix driver replans around oracle pivots
+            from ..analyze import analyze
+            ana_g = analyze(As[g], options)
+            xs[g] = factorize_solve_tpu_fused(
+                As[g], ana_g, bs[g], options, heads_per_chunk,
+                pass1_events, pass2_events)
+    return xs

@@ -299,12 +299,13 @@ def _pass_body(C, Wt, Wo, W8, WN, WI8, E_dummy,
 
 
 def _factor_kernel(h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
+                   SMT_in, GT_in, TZ_in,
                    val, SMT, GT, TZ, flags,
                    gat_t, gat_m, gat_a, gat_b, gat_g, gat_z, scat,
                    mT1, bT1, iT1, acc0a, acc1a, pA1, pB1, qb1,
                    mT2, bT2, iT2, acc0b, acc1b, pA2, pB2, qb2,
                    hm, hi, hr, hacc0, hacc1, ld, lx, lu, ltz, flag_ref,
-                   *extra, n, E, W8, WN, WI8, H, C1, C2, hbm, KR):
+                   *extra, n, E, W8, WN, WI8, H, C1, C2, hbm, KR, first):
     if hbm:
         hrows, sem = extra
     else:
@@ -319,14 +320,21 @@ def _factor_kernel(h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
             cp.wait()
         else:
             val[:] = val_in[:]
-        # row 0 of both tables = the identity (rho_{-1} = 1)
-        SMT[0:1, :] = jnp.concatenate(
-            [jnp.ones((1, 1), jnp.int32),
-             jnp.zeros((1, W8 - 1), jnp.int32)], axis=1)
-        GT[0:1, :] = jnp.concatenate(
-            [jnp.ones((1, 1), jnp.int32),
-             jnp.zeros((1, WI8 - 1), jnp.int32)], axis=1)
-        TZ[0:1, :] = jnp.zeros((1, 8), jnp.int32)
+        if first:
+            # row 0 of both tables = the identity (rho_{-1} = 1)
+            SMT[0:1, :] = jnp.concatenate(
+                [jnp.ones((1, 1), jnp.int32),
+                 jnp.zeros((1, W8 - 1), jnp.int32)], axis=1)
+            GT[0:1, :] = jnp.concatenate(
+                [jnp.ones((1, 1), jnp.int32),
+                 jnp.zeros((1, WI8 - 1), jnp.int32)], axis=1)
+            TZ[0:1, :] = jnp.zeros((1, 8), jnp.int32)
+        else:
+            # later width segment: continue from the widened tables
+            # (sign-extended SMT, re-lifted GT — see tpu/relift.py)
+            SMT[:] = SMT_in[:]
+            GT[:] = GT_in[:]
+            TZ[:] = TZ_in[:]
         for fi in range(8):
             flag_ref[fi] = 0
 
@@ -472,20 +480,30 @@ def _factor_kernel(h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
     "n", "E", "W8", "WN", "WI8", "H", "C1", "C2", "hbm"))
 def factor_fused(n, E, W8, WN, WI8, H, C1, C2,
                  h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
-                 hbm=False):
-    """Run the whole factor stream. Returns (val, SMT, GT, TZ, flags).
+                 hbm=False, tables=None):
+    """Run a factor-stream (segment of) chunks.
+    Returns (val, SMT, GT, TZ, flags).
 
     val_in is [E8, W8] (VMEM mode) or [E8, WH] with WH = W8 rounded to
-    128 lanes (HBM mode — chosen by val_table_in_hbm)."""
+    128 lanes (HBM mode — chosen by val_table_in_hbm). tables, when
+    given, is (SMT, GT, TZ) from an earlier (narrower) width segment,
+    already widened/re-lifted to this segment's shapes (tpu/relift.py);
+    None means this is the first segment and the kernel initializes the
+    identity rows itself."""
     nc = h_step.shape[0]
     E8 = _r8(E + 1)
     n8 = _r8(n + 2)
     KR = val_in.shape[0] // E8 if hbm else 1
     WV = val_in.shape[1]
+    first = tables is None
+    if first:
+        tables = (jnp.zeros((n8, W8), jnp.int32),
+                  jnp.zeros((n8, WI8), jnp.int32),
+                  jnp.zeros((n8, 8), jnp.int32))
     kern = functools.partial(
         _factor_kernel, n=n, E=E, W8=W8, WN=WN, WI8=WI8, H=H, C1=C1,
-        C2=C2, hbm=hbm, KR=KR)
-    val_space = (pl.BlockSpec(memory_space=pltpu.ANY) if hbm else
+        C2=C2, hbm=hbm, KR=KR, first=first)
+    val_space = (pl.BlockSpec(memory_space=pl.ANY) if hbm else
                  pl.BlockSpec((E8, W8), lambda i: (0, 0),
                               memory_space=pltpu.VMEM))
     gshape = ((KR, C2, 128) if hbm else (C2, W8))
@@ -546,6 +564,12 @@ def factor_fused(n, E, W8, WN, WI8, H, C1, C2,
             pl.BlockSpec((1, C2, 5), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             val_space,
+            pl.BlockSpec((n8, W8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n8, WI8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n8, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
             val_space,
@@ -575,7 +599,7 @@ def factor_fused(n, E, W8, WN, WI8, H, C1, C2,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(h_step[:, None, :], h_slot[:, None, :], h_div[:, None, :],
-      cnts[:, None, :], ev1, ev2, val_in)
+      cnts[:, None, :], ev1, ev2, val_in, *tables)
 
 
 def _solve_kernel(cnts, ev1, ev2, val, SMT, GT, TZ, X_in,
@@ -629,7 +653,7 @@ def solve_fused(n, E, W8, Ws8, WNS, WI8, C1, C2,
     kern = functools.partial(
         _solve_kernel, n=n, E=E, W8=W8, Ws8=Ws8, WNS=WNS, WI8=WI8,
         C1=C1, C2=C2, hbm=hbm, KR=KR)
-    val_space = (pl.BlockSpec(memory_space=pltpu.ANY) if hbm else
+    val_space = (pl.BlockSpec(memory_space=pl.ANY) if hbm else
                  pl.BlockSpec((val.shape[0], W8), lambda i: (0, 0),
                               memory_space=pltpu.VMEM))
     scratch = [
@@ -704,25 +728,60 @@ def solve_fused(n, E, W8, Ws8, WNS, WI8, C1, C2,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n", "E", "W8", "Ws8", "WN", "WNS", "WI8", "H", "C1", "C2", "hbm"))
+    "n", "E", "W8", "Ws8", "WN", "WNS", "WI8", "H", "C1", "C2", "hbm",
+    "segments"))
 def fused_solve_all(n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2,
                     h_step, h_slot, h_div, fcnt, fev1, fev2,
-                    scnt, sev1, sev2, val_in, b_rows, hbm=False):
+                    scnt, sev1, sev2, val_in, b_rows, hbm=False,
+                    segments=None):
     """ONE XLA program for the whole exact solve: factor stream, every
     RHS solve stream, and a single flat int32 result vector
 
-        [fsing, fovf, det(W8), then per rhs: ssing, sovf, X(n*Ws8)].
+        [per segment: fsing, fovf] [det(W8)]
+        [then per rhs: ssing, sovf, X(n*Ws8)].
 
     The tunnel to the chip charges a fixed ~45 ms for every host sync
     (measured; see ROADMAP), so the entire solve must be one dispatch +
     one fetch: b ships as a narrow [nrhs, n, Wb] argument (args ride the
     execute call for free), is sign-extended to Ws8 on device, and only
     the flat vector comes back.
+
+    segments (static), when given, is a tuple of (lo, hi, W8s) chunk
+    ranges with nondecreasing widths ending at W8: each range's chunks
+    run in their own pallas_call at W8s-limb shapes (IPGE values at
+    level L only need ~L/n of the final width — quadratic MAC savings),
+    with sign-extension / Hensel re-lift glue between segments
+    (tpu/relift.py). val_in must be packed at segments[0]'s width.
+    None = one full-width segment (identical to the classic path).
     """
-    val_d, SMT_d, GT_d, TZ_d, fflags = factor_fused(
-        n, E, W8, WN, WI8, H, C1, C2, h_step, h_slot, h_div, fcnt,
-        fev1, fev2, val_in, hbm=hbm)
-    parts = [fflags[0, :2], SMT_d[n, :]]
+    from .relift import relift_gt, widen_tc, widen_val
+    if segments is None:
+        segments = ((0, h_step.shape[0], W8),)
+    E8 = _r8(E + 1)
+    S = len(segments)
+    val_d = val_in
+    SMT_d = GT_d = TZ_d = None
+    fparts = []
+    prev = None
+    for si, (lo, hi, W8s) in enumerate(segments):
+        WNs = _r8(2 * W8s + 2)
+        WIs = max(WNs, WNS, WI8) if si == S - 1 else WNs
+        hbms = val_table_in_hbm(E8, W8s)
+        tables = None
+        if prev is not None:
+            pW8, pWI, phbm = prev
+            val_d = widen_val(val_d, E8, pW8, W8s, phbm, hbms)
+            SMT_d = widen_tc(SMT_d, pW8, W8s)
+            GT_d = relift_gt(SMT_d, GT_d, TZ_d, W8s, pWI, WIs)
+            tables = (SMT_d, GT_d, TZ_d)
+        val_d, SMT_d, GT_d, TZ_d, fflags = factor_fused(
+            n, E, W8s, WNs, WIs, H, C1, C2,
+            h_step[lo:hi], h_slot[lo:hi], h_div[lo:hi], fcnt[lo:hi],
+            fev1[lo:hi], fev2[lo:hi], val_d, hbm=hbms, tables=tables)
+        fparts.append(fflags[0, :2])
+        prev = (W8s, WIs, hbms)
+    hbm = prev[2]
+    parts = fparts + [SMT_d[n, :]]
     X8 = _r8(n + 1)
     nrhs, _, Wb = b_rows.shape
     for c in range(nrhs):
@@ -734,11 +793,37 @@ def fused_solve_all(n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2,
                 axis=1)
         xarr = jnp.zeros((X8, Ws8), jnp.int32).at[:n].set(col)
         X_d, sflags = solve_fused(
-            n, E, W8, Ws8, WNS, WI8, C1, C2, scnt, sev1, sev2,
+            n, E, W8, Ws8, WNS, prev[1], C1, C2, scnt, sev1, sev2,
             val_d, SMT_d, GT_d, TZ_d, xarr, hbm=hbm)
         parts.append(sflags[0, :2])
         parts.append(X_d[:n].reshape(-1))
     return jnp.concatenate(parts)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n", "E", "W8", "Ws8", "WN", "WNS", "WI8", "H", "C1", "C2", "hbm",
+    "segments", "G"))
+def fused_solve_many(n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2, G,
+                     h_step, h_slot, h_div, fcnt, fev1, fev2,
+                     scnt, sev1, sev2, val_stack, b_stack, hbm=False,
+                     segments=None):
+    """G pattern-sharing systems in ONE XLA program (SURVEY §2.10 data-
+    parallel axis): the schedule/streams are shared, each member brings
+    its own value table (val_stack[g]) and RHS block (b_stack[g]), and
+    the G per-member flat vectors (fused_solve_all layout) concatenate
+    into one fetch. One dispatch instead of G — on the tunnel the fixed
+    ~45 ms/sync is the whole cost of small solves, so batching G=8 is
+    ~G x faster than sequential calls (ROADMAP batch-layout item; the
+    vmap-of-scatter lowering that sank the padded path's batching never
+    appears because members run as straight-line slices)."""
+    outs = []
+    for g in range(G):
+        outs.append(fused_solve_all(
+            n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2,
+            h_step, h_slot, h_div, fcnt, fev1, fev2,
+            scnt, sev1, sev2, val_stack[g], b_stack[g], hbm=hbm,
+            segments=segments))
+    return jnp.concatenate(outs)
 
 
 # ---------------------------------------------------------------------------

@@ -54,11 +54,16 @@ class StreamChunks:
     h_div: np.ndarray    # [nc, H] hist field of the diagonal (pad 0)
     ev1: np.ndarray      # [nc, C1, 5] pass-1 (target, mult, div, A, B)
     ev2: np.ndarray      # [nc, C2, 5] pass-2 events
-    counts: np.ndarray   # [nc, 4] (n_heads, n_ev1, n_ev2, 0) per chunk —
-    #                      the kernels bound their gather/scatter loops
-    #                      by these instead of paying full capacity
+    counts: np.ndarray   # [nc, 4] (n_heads, n_ev1, n_ev2, flags) per
+    #                      chunk — the kernels bound their gather/
+    #                      scatter loops by these instead of paying
+    #                      full capacity; flags are shortcut bits
     nchunks: int
     fill: float          # event-slot utilization (diagnostic)
+    max_level: np.ndarray = None  # [nc] highest IPGE level written by
+    #                      any event/head of the chunk (monotone
+    #                      nondecreasing) — the adaptive-width planner
+    #                      keys segment boundaries off this
 
 
 @dataclasses.dataclass
@@ -187,6 +192,7 @@ class _ChunkBuilder:
             ev[:, :, 3] = self.dummy_a
             ev[:, :, 4] = self.dummy_b
         counts = np.zeros((nc, 4), np.int32)
+        max_level = np.zeros(nc, np.int32)
         used = 0
         for c, (h, p1, p2) in enumerate(self.chunks):
             for t, (k, s, d) in enumerate(h):
@@ -213,10 +219,16 @@ class _ChunkBuilder:
                 flags |= 8
             counts[c] = (len(h), len(p1), len(p2), flags)
             used += len(p1) + len(p2)
+            # a head at step k writes rho_k (level k); an event with
+            # mult m writes a level m-1 value (update m=k+1 -> level k,
+            # fix m=k -> level k-1, det scale m=n -> level n-1)
+            lv = max([k for k, _, _ in h] + [e[1] - 1 for e in p1]
+                     + [e[1] - 1 for e in p2] + [0])
+            max_level[c] = max(lv, max_level[c - 1] if c else 0)
         fill = used / float(nc * (C1 + C2))
         return StreamChunks(h_step=h_step, h_slot=h_slot, h_div=h_div,
                             ev1=ev1, ev2=ev2, counts=counts, nchunks=nc,
-                            fill=fill)
+                            fill=fill, max_level=max_level)
 
 
 def build_event_stream(sched: SparseSchedule, heads_per_chunk: int = 8,

@@ -83,3 +83,81 @@ def test_batch_rejects_mismatched_patterns():
         factorize_solve_tpu_sparse_many([As[0], Bs[0]],
                                         analyze(As[0], Options()),
                                         bs, Options())
+
+
+# ---------------------- fused-path batching -------------------------------
+
+from slip_lu_tpu.tpu.backslash_fused import factorize_solve_tpu_fused_many
+
+
+def test_fused_batch_matches_individual_solves():
+    As, bs = _family(nb=3, n=8, seed=4)
+    opts = Options()
+    ana = analyze(As[0], opts)
+    xs = factorize_solve_tpu_fused_many(As, ana, bs, opts,
+                                        heads_per_chunk=2,
+                                        pass1_events=8, pass2_events=16)
+    for A, b, x in zip(As, bs, xs):
+        x_host = backslash(A, b, Type.MPQ, opts)
+        for i in range(A.n):
+            assert x.x[i, 0] == x_host.x[i, 0]
+
+
+@pytest.mark.slow
+def test_fused_batch_multi_rhs_and_widths():
+    """Members with very different magnitudes share one (max) width."""
+    As, bs = _family(nb=3, n=8, seed=9)
+    n = 8
+    rng = np.random.default_rng(1)
+    for t in range(int(As[2].p[n])):
+        if As[2].x[t] != 0:
+            As[2].x[t] = int(As[2].x[t]) * 10**6
+    bs = [SlipMatrix.from_dense(
+        np.array([[int(rng.integers(-5, 6)) for _ in range(2)]
+                  for _ in range(n)], dtype=object), Type.MPZ)
+        for _ in range(3)]
+    opts = Options()
+    ana = analyze(As[0], opts)
+    xs = factorize_solve_tpu_fused_many(As, ana, bs, opts,
+                                        heads_per_chunk=2,
+                                        pass1_events=8, pass2_events=16)
+    for A, b, x in zip(As, bs, xs):
+        x_host = backslash(A, b, Type.MPQ, opts)
+        for i in range(n):
+            for c in range(2):
+                assert x.x[i, c] == x_host.x[i, c]
+
+
+@pytest.mark.slow
+def test_fused_batch_member_with_zero_pivot_falls_back():
+    As, bs = _family(nb=3, n=6, seed=11)
+    from slip_lu_tpu.factorize import factorize
+    n = 6
+    A2 = As[1]
+    opts = Options()
+    for t in range(int(A2.p[n])):
+        old = A2.x[t]
+        if old == 0:
+            continue
+        A2.x[t] = 0
+        try:
+            factorize(A2, analyze(A2, opts), opts)
+        except Exception:
+            A2.x[t] = old
+    ana = analyze(As[0], opts)
+    xs = factorize_solve_tpu_fused_many(As, ana, bs, opts,
+                                        heads_per_chunk=2,
+                                        pass1_events=8, pass2_events=16)
+    for A, b, x in zip(As, bs, xs):
+        x_host = backslash(A, b, Type.MPQ, opts)
+        for i in range(n):
+            assert x.x[i, 0] == x_host.x[i, 0]
+
+
+def test_fused_batch_rejects_mismatched_patterns():
+    As, bs = _family(nb=2, n=5, seed=5)
+    Bs, _ = _family(nb=1, n=5, seed=6)
+    with pytest.raises(SlipIncorrectInputError):
+        factorize_solve_tpu_fused_many([As[0], Bs[0]],
+                                       analyze(As[0], Options()),
+                                       bs, Options())

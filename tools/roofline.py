@@ -37,19 +37,34 @@ HBM_BW = 800e9                        # bytes/s
 SYNC_FLOOR = 0.045                    # s per solve (tunnel dispatch+fetch)
 
 
-def stream_macs(es, W8, Ws8, WN, WNS, WI8):
-    """Exact limb-MAC counts per stream from the chunk count arrays."""
+def stream_macs(es, W8, Ws8, WN, WNS, WI8, segments=None):
+    """Exact limb-MAC counts per stream from the chunk count arrays.
+
+    segments: the adaptive-width plan ((lo, hi, W8s), ...) actually run
+    (backslash_fused caches it) — factor chunks are costed at their own
+    segment's widths."""
+    from slip_lu_tpu.tpu.factor_fused import _r8
     f, s = es.factor, es.solve
-    fev = int(f.counts[:, 1].sum() + f.counts[:, 2].sum())
+    if segments is None:
+        segments = ((0, f.nchunks, W8),)
+    f_macs = 0
+    fev = 0
+    for si, (lo, hi, W8s) in enumerate(segments):
+        WNs = _r8(2 * W8s + 2)
+        WIs = max(WNs, WNS, WI8) if si == len(segments) - 1 else WNs
+        ev = int(f.counts[lo:hi, 1].sum() + f.counts[lo:hi, 2].sum())
+        heads = int(f.counts[lo:hi, 0].sum())
+        hchunks = int((f.counts[lo:hi, 0] > 0).sum())
+        # per factor event: t*m (W8xW8) + a*b (W8xW8) + q (WNxWN);
+        # pass 1 has no a*b (shortcut) — cost it at the a*b-free rate
+        ev1 = int(f.counts[lo:hi, 1].sum())
+        f_macs += ev * (W8s * W8s + WNs * WNs) + (ev - ev1) * W8s * W8s
+        # per head: fix (W8xW8 + WNxWN); per head-chunk: batched lift
+        # over 8 lanes, doubling rungs sum ~ (8/3)*WI^2 per lane
+        f_macs += heads * (W8s * W8s + WNs * WNs)
+        f_macs += hchunks * 8 * (8 * WIs * WIs // 3)
+        fev += ev
     sev = int(s.counts[:, 1].sum() + s.counts[:, 2].sum())
-    heads = int(f.counts[:, 0].sum())
-    hchunks = int((f.counts[:, 0] > 0).sum())
-    # per factor event: t*m (W8xW8) + a*b (W8xW8) + q (WNxWN)
-    f_macs = fev * (2 * W8 * W8 + WN * WN)
-    # per head: fix (W8xW8 + WNxWN); per head-chunk: batched lift over
-    # 8 lanes, sum over doubling rungs of 2*w*w2 ~ (8/3)*WI8^2 each lane
-    f_macs += heads * (W8 * W8 + WN * WN)
-    f_macs += hchunks * 8 * (8 * WI8 * WI8 // 3)
     # per solve event: t*m (Ws8xW8) + a*b (W8xWs8) + q (WNSxWNS)
     s_macs = sev * (2 * W8 * Ws8 + WNS * WNS)
     return f_macs, s_macs, fev, sev
@@ -87,7 +102,10 @@ def main():
         WNS = _r8(W8 + Ws8 + 2)
         WI8 = max(WN, WNS)
         _, (sched, r, es, _, _) = ana.fused_cache
-        fm, sm, fev, sev = stream_macs(es, W8, Ws8, WN, WNS, WI8)
+        seg = getattr(ana, "fused_seg_cache", None)
+        segments = seg[2] if seg is not None else None
+        fm, sm, fev, sev = stream_macs(es, W8, Ws8, WN, WNS, WI8,
+                                       segments)
         macs = fm + sm
         E8 = _r8(es.nnz + 1)
         hbm = val_table_in_hbm(E8, W8)
