@@ -23,6 +23,7 @@ DIAGONAL pivots on B = A[r][:, q]).
 
 from __future__ import annotations
 
+import os
 from fractions import Fraction
 from math import gcd
 from typing import Optional
@@ -99,7 +100,8 @@ def plan_segments(max_level, n: int, W: int, Wmin: int):
     wide-W matrices spend their time."""
     nc = len(max_level)
     W8 = _r8(W)
-    if W8 < 32 or nc < 16:
+    if W8 < 32 or nc < 16 or os.environ.get(
+            "SLIP_FUSED_SEGMENTS", "1") == "0":
         return [[0, nc, W8]]
 
     def need(L):
@@ -218,7 +220,6 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
                              min(-(-Ws_full // 16), 32)), Ws_full)
 
         sing = False
-        sing_streak = 0
         Wmin_in = max(2, W_in + 1)
         segplan = None
         scache = getattr(analysis, "fused_seg_cache", None)
@@ -291,17 +292,25 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
             # that pivot was overflow-clean, so the cancellation is real
             sing_clean = sing and not any(
                 seg_ovf[i] for i in range(seg_sing.index(True) + 1))
-            # Flag trust order (each can fake the other): with NO factor
-            # overflow, all arithmetic up to a zero pivot was exact, so
-            # sing is genuine -> replan. With factor overflow below the
-            # analytic bound, sing may be a truncation artifact (a
-            # wrapped pivot with 16W zero low bits) -> widen and
-            # re-look ONCE: doubling the width destroys any truncation
-            # fake, so a sing that survives two rungs is a genuine
-            # cancellation whose downstream garbage keeps faking ovf —
-            # replan rather than climb to the (possibly huge) bound.
-            sing_streak = sing_streak + 1 if sing else 0
-            if sing and (sing_clean or sing_streak >= 2):
+            if os.environ.get("SLIP_FUSED_DEBUG"):
+                print(f"[fused] plan={plan} W={W} Ws={Ws} "
+                      f"segs={segments} sing={seg_sing} ovf={seg_ovf} "
+                      f"s_ovf={s_ovf}", flush=True)
+            # Flag trust: sing is only believable when NO overflow hit
+            # the same or any earlier segment (sing_clean) — then every
+            # value feeding the pivot fit its storage width, storage is
+            # exact, and a zero residue IS a zero pivot. A sing that
+            # rides along with overflow must be IGNORED and the ladder
+            # climbed: integer pivot sequences can be 2-adically deep
+            # (tridiagonal minors with small entries accumulate
+            # linearly-growing powers of two), making the exact pivot
+            # ≡ 0 mod 2^(16*W8) for MANY consecutive rungs — any
+            # "sing that survives N rungs is genuine" shortcut is
+            # unsound (found on tri1000: pivots divisible by 2^600+).
+            # Termination: at the analytic bound genuine overflow is
+            # impossible, so either the flags come back clean or the
+            # sing there is real (bound-exhaustion break below).
+            if sing and sing_clean:
                 break                       # genuine cancellation
             if f_ovf or s_ovf:
                 # only the FIRST overflowed segment's flag is
@@ -363,9 +372,15 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
                 analysis.sparse_fixed_r = fixed_r
     # both plans singular-flagged (cannot happen with a pinned oracle
     # sequence unless something deeper is wrong) — last resort: the
-    # dense full-pivoting kernel, which searches pivots dynamically
+    # dense full-pivoting kernel, which searches pivots dynamically.
+    # Its working set is O(n^2 * W) — beyond small n that exceeds any
+    # memory, so large systems fall back to the host oracle instead
+    # (exact, O(fill) memory) rather than a doomed allocation.
     st.fallback = True
     record(st)
+    if n > 256:
+        from ..backslash import backslash
+        return backslash(A, b, Type.MPQ, options)
     from .backslash_tpu import factorize_solve_tpu
     return factorize_solve_tpu(A, analysis, b, options)
 
@@ -455,7 +470,6 @@ def factorize_solve_tpu_fused_many(As, analysis, bs,
 
     Wmin_in = max(2, W_in + 1)
     segplan = None
-    sing_streak = 0
     while True:
         W8 = _r8(W)
         Ws8 = _r8(max(Ws, W + 1))
@@ -533,9 +547,12 @@ def factorize_solve_tpu_fused_many(As, analysis, bs,
 
         sing_clean = sing and all(_member_sing_clean(g)
                                   for g in range(G))
-        sing_streak = sing_streak + 1 if sing else 0
-        if sing and (sing_clean or sing_streak >= 2):
-            break
+        if sing and sing_clean:
+            break                   # genuine cancellation (see the
+            #                         single-matrix driver's flag-trust
+            #                         comment: sing + overflow must
+            #                         climb, 2-adically deep pivots
+            #                         fake zero residues for many rungs)
         if f_ovf or s_ovf:
             first_bad = min((so.index(True) for so in g_ovf if any(so)),
                             default=None)

@@ -101,3 +101,32 @@ def test_fused_corpus_grid8():
     x_f = factorize_solve_tpu_fused(A, analyze(A, opts), b, opts)
     for i in range(A.n):
         assert x_f.x[i, 0] == x_host.x[i, 0], i
+
+
+def test_fused_2adically_deep_pivots_climb_not_sing():
+    """Pivot sequences divisible by huge powers of two have residues
+    that are EXACTLY ZERO at narrow limb widths for many consecutive
+    rungs (diag(3*2^16): rho_k = 3^k * 2^(16k)). The ladder must treat
+    sing-with-overflow as inconclusive and climb to a width where the
+    residues are faithful — never declare singular, never fall back
+    (regression: a 'sing that survives two rungs is genuine' shortcut
+    mis-solved tri1000 into the dense fallback)."""
+    from slip_lu_tpu.stats import last_stats
+    n = 20
+    dense = np.zeros((n, n), dtype=object)
+    for i in range(n):
+        dense[i, i] = 3 * 2**16
+    A = matrix_copy(SlipMatrix.from_dense(dense, Type.MPZ),
+                    Kind.CSC, Type.MPZ)
+    b = SlipMatrix.from_dense(
+        np.array([[i + 1] for i in range(n)], dtype=object), Type.MPZ)
+    opts = Options()
+    x = factorize_solve_tpu_fused(A, analyze(A, opts), b, opts,
+                                  heads_per_chunk=4, pass1_events=8,
+                                  pass2_events=32)
+    st = last_stats()
+    assert st.backend == "tpu-fused" and not st.fallback
+    assert st.retries >= 1
+    x_host = backslash(A, b, Type.MPQ, opts)
+    for i in range(n):
+        assert x.x[i, 0] == x_host.x[i, 0], i
