@@ -190,11 +190,19 @@ def _choose_pivot(cands: List[Tuple[int, int]], diag_row: int,
 # ---------------------------------------------------------------------------
 
 def factorize(A: SlipMatrix, analysis: Analysis,
-              options: Optional[Options] = None) -> Factorization:
+              options: Optional[Options] = None,
+              fixed_r: Optional[np.ndarray] = None) -> Factorization:
     """Left-looking REF LU of a CSC x MPZ matrix: PAQ = LDU.
 
     Raises SlipSingularError if some column has no eligible pivot
     (reference returns SLIP_SINGULAR).
+
+    fixed_r, when given, pins the pivot ROW of every step (fixed_r[k] =
+    original row index) instead of running the pivot scheme — the exact
+    host twin of the device schedules' pinned sequences. Raises
+    SlipSingularError at the first pinned pivot that is exactly zero
+    (the device paths use this as the truth oracle for their ambiguous
+    sing-with-overflow flag state).
     """
     options = options or Options()
     options.validate()
@@ -265,7 +273,13 @@ def factorize(A: SlipMatrix, analysis: Analysis,
         # (6) pivot  [slip_get_pivot.c]
         if not cands:
             raise SlipSingularError(f"column {col} (k={k}) has no eligible pivot")
-        piv_row = _choose_pivot(cands, diag_row=col, options=options)
+        if fixed_r is not None:
+            piv_row = int(fixed_r[k])
+            if all(i != piv_row for i, _ in cands):
+                raise SlipSingularError(
+                    f"pinned pivot row {piv_row} is exactly zero at k={k}")
+        else:
+            piv_row = _choose_pivot(cands, diag_row=col, options=options)
         piv_val = x[piv_row]
 
         # (7) bookkeeping

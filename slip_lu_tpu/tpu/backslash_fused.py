@@ -220,6 +220,7 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
                              min(-(-Ws_full // 16), 32)), Ws_full)
 
         sing = False
+        sing_seen = False
         Wmin_in = max(2, W_in + 1)
         segplan = None
         scache = getattr(analysis, "fused_seg_cache", None)
@@ -268,12 +269,27 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
             with phase_timer(st, "device"):
                 # ONE dispatch, ONE fetch (the tunnel pays a fixed
                 # ~45 ms per host sync, so never go piecemeal)
-                flat = np.asarray(jax.device_get(fused_solve_all(
-                    n, E, W8, Ws8, WN, WNS, WI8, heads_per_chunk,
-                    pass1_events, pass2_events,
-                    h_step, h_slot, h_div, fcnt, fev1, fev2,
-                    scnt, sev1, sev2, val_dev, jnp.asarray(b_rows),
-                    hbm=hbm_mode, segments=segments)))
+                try:
+                    flat = np.asarray(jax.device_get(fused_solve_all(
+                        n, E, W8, Ws8, WN, WNS, WI8, heads_per_chunk,
+                        pass1_events, pass2_events,
+                        h_step, h_slot, h_div, fcnt, fev1, fev2,
+                        scnt, sev1, sev2, val_dev, jnp.asarray(b_rows),
+                        hbm=hbm_mode, segments=segments)))
+                except jax.errors.JaxRuntimeError as e:
+                    # a width rung too wide to COMPILE (tables overflow
+                    # scoped VMEM) is ladder exhaustion, not a crash:
+                    # with a sing on record the cancellation diagnosis
+                    # stands (replan); otherwise nothing can solve this
+                    # width on-device — surface the real error
+                    msg = str(e)
+                    if sing_seen and ("RESOURCE_EXHAUSTED" in msg
+                                      or "Ran out of memory" in msg
+                                      or "vmem limit" in msg
+                                      or "exceeded" in msg):
+                        sing = True
+                        break
+                    raise
             o = 0
             seg_sing = [bool(flat[o + 2 * s]) for s in range(S)]
             seg_ovf = [bool(flat[o + 2 * s + 1]) for s in range(S)]
@@ -285,6 +301,7 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
                 X_h.append(flat[o:o + n * Ws8].reshape(n, Ws8))
                 o += n * Ws8
             sing = any(seg_sing)
+            sing_seen = sing_seen or sing
             f_ovf = any(seg_ovf)
             s_ovf = any(bool(f[1]) for f in sflags_h)
             # a sing with no overflow in the SAME or any EARLIER segment
@@ -312,6 +329,37 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
             # sing there is real (bound-exhaustion break below).
             if sing and sing_clean:
                 break                       # genuine cancellation
+            if sing:
+                # inconclusive (sing + overflow). ONE exact host REF LU
+                # pinned to THIS schedule's rows decides for good —
+                # either the pinned sequence truly cancels (replan), or
+                # it yields the exact factor values and therefore the
+                # exact width to jump to (skipping the rest of the
+                # blind ladder, each rung of which costs a compile).
+                chk = getattr(analysis, "fused_pin_check", None)
+                if chk is None or chk[0] != key:
+                    with phase_timer(st, "pincheck"):
+                        from ..errors import SlipSingularError
+                        from ..factorize import factorize
+                        try:
+                            F = factorize(A, analysis, options,
+                                          fixed_r=np.asarray(r))
+                            Wx = _tc_width(
+                                (v for col in (F.Lcols + F.Ucols)
+                                 for _, v in col), 1 << 30) + 1
+                            chk = (key, Wx)
+                        except SlipSingularError:
+                            chk = (key, None)
+                    analysis.fused_pin_check = chk
+                if chk[1] is None:
+                    break                   # proven cancellation
+                Wx = max(chk[1], W_in + 1)  # table also holds raw A
+                if W < Wx <= W_full:
+                    W = Wx
+                    Ws = max(Ws, W + 1)
+                    segplan = None
+                    st.retries += 1
+                    continue
             if f_ovf or s_ovf:
                 # only the FIRST overflowed segment's flag is
                 # trustworthy (its garbage feeds everything after it);

@@ -61,8 +61,12 @@ _HBM_VAL_BUDGET = 40 * 2**20  # VMEM bytes the value table may occupy
 
 
 def val_table_in_hbm(E8: int, W8: int) -> bool:
-    """Whether the value table must live in HBM (see module docstring)."""
-    return E8 * max(128, _r128(W8)) * 4 > _HBM_VAL_BUDGET
+    """Whether the value table must live in HBM (see module docstring).
+    SLIP_HBM_BUDGET (bytes) overrides the default 40MB — mainly to
+    force HBM mode on small matrices in tests/diagnostics."""
+    import os
+    budget = int(os.environ.get("SLIP_HBM_BUDGET", _HBM_VAL_BUDGET))
+    return E8 * max(128, _r128(W8)) * 4 > budget
 
 
 def _interpret() -> bool:
@@ -299,17 +303,29 @@ def _pass_body(C, Wt, Wo, W8, WN, WI8, E_dummy,
 
 
 def _factor_kernel(h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
-                   SMT_in, GT_in, TZ_in,
-                   val, SMT, GT, TZ, flags,
-                   gat_t, gat_m, gat_a, gat_b, gat_g, gat_z, scat,
-                   mT1, bT1, iT1, acc0a, acc1a, pA1, pB1, qb1,
-                   mT2, bT2, iT2, acc0b, acc1b, pA2, pB2, qb2,
-                   hm, hi, hr, hacc0, hacc1, ld, lx, lu, ltz, flag_ref,
-                   *extra, n, E, W8, WN, WI8, H, C1, C2, hbm, KR, first):
+                   *rest, n, E, W8, WN, WI8, H, C1, C2, hbm, KR, first):
+    # later segments receive the previous tables as ANY-memory inputs
+    # (a VMEM block spec here would DOUBLE the table footprint — the
+    # in-window and out-window both count against scoped VMEM, which
+    # overflowed at 100K nnz); they DMA into the output tables at init
+    if first:
+        SMT_in = GT_in = TZ_in = None
+        val, SMT, GT, TZ, flags = rest[:5]
+        scratch = rest[5:]
+    else:
+        SMT_in, GT_in, TZ_in = rest[:3]
+        val, SMT, GT, TZ, flags = rest[3:8]
+        scratch = rest[8:]
+    (gat_t, gat_m, gat_a, gat_b, gat_g, gat_z, scat,
+     mT1, bT1, iT1, acc0a, acc1a, pA1, pB1, qb1,
+     mT2, bT2, iT2, acc0b, acc1b, pA2, pB2, qb2,
+     hm, hi, hr, hacc0, hacc1, ld, lx, lu, ltz, flag_ref) = scratch[:33]
+    extra = scratch[33:]
     if hbm:
         hrows, sem = extra
     else:
-        hrows = sem = None
+        hrows = None
+        sem = extra[0] if extra else None
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -332,9 +348,10 @@ def _factor_kernel(h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
         else:
             # later width segment: continue from the widened tables
             # (sign-extended SMT, re-lifted GT — see tpu/relift.py)
-            SMT[:] = SMT_in[:]
-            GT[:] = GT_in[:]
-            TZ[:] = TZ_in[:]
+            for src, dst in ((SMT_in, SMT), (GT_in, GT), (TZ_in, TZ)):
+                cp = pltpu.make_async_copy(src, dst, sem)
+                cp.start()
+                cp.wait()
         for fi in range(8):
             flag_ref[fi] = 0
 
@@ -496,10 +513,6 @@ def factor_fused(n, E, W8, WN, WI8, H, C1, C2,
     KR = val_in.shape[0] // E8 if hbm else 1
     WV = val_in.shape[1]
     first = tables is None
-    if first:
-        tables = (jnp.zeros((n8, W8), jnp.int32),
-                  jnp.zeros((n8, WI8), jnp.int32),
-                  jnp.zeros((n8, 8), jnp.int32))
     kern = functools.partial(
         _factor_kernel, n=n, E=E, W8=W8, WN=WN, WI8=WI8, H=H, C1=C1,
         C2=C2, hbm=hbm, KR=KR, first=first)
@@ -547,6 +560,8 @@ def factor_fused(n, E, W8, WN, WI8, H, C1, C2,
             pltpu.VMEM((KR, max(H, 8), 128), jnp.int32),   # hrows
             pltpu.SemaphoreType.DMA(()),              # sem (shared)
         ]
+    elif not first:
+        scratch.append(pltpu.SemaphoreType.DMA(()))   # sem (table DMA)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nc,),
@@ -564,13 +579,11 @@ def factor_fused(n, E, W8, WN, WI8, H, C1, C2,
             pl.BlockSpec((1, C2, 5), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             val_space,
-            pl.BlockSpec((n8, W8), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n8, WI8), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n8, 8), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        ] + ([] if first else [
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]),
         out_specs=(
             val_space,
             pl.BlockSpec((n8, W8), lambda i: (0, 0),
@@ -599,7 +612,8 @@ def factor_fused(n, E, W8, WN, WI8, H, C1, C2,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(h_step[:, None, :], h_slot[:, None, :], h_div[:, None, :],
-      cnts[:, None, :], ev1, ev2, val_in, *tables)
+      cnts[:, None, :], ev1, ev2, val_in,
+      *(() if first else tables))
 
 
 def _solve_kernel(cnts, ev1, ev2, val, SMT, GT, TZ, X_in,
