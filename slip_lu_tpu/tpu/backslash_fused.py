@@ -218,14 +218,25 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
                         W_full)
                 Ws = min(max(W + 1, Wb_in + 1,
                              min(-(-Ws_full // 16), 32)), Ws_full)
+            # an exact pinned-pivot width for THIS schedule (from a
+            # previous rung's host check or pre-seeded at replan time)
+            # beats any guess — start there
+            pchk = getattr(analysis, "fused_pin_check", None)
+            if (pchk is not None and pchk[0] == key
+                    and pchk[1] is not None):
+                W = min(max(W, pchk[1], W_in + 1), W_full)
+                Ws = min(max(Ws, W + 1), Ws_full)
 
         sing = False
         sing_seen = False
         Wmin_in = max(2, W_in + 1)
         segplan = None
+        ssegplan = None
         scache = getattr(analysis, "fused_seg_cache", None)
-        if scache is not None and scache[0] == key and scache[1] == W:
+        if (scache is not None and scache[0] == key and scache[1] == W
+                and scache[3] == Ws):
             segplan = [list(s) for s in scache[2]]
+            ssegplan = [list(s) for s in scache[4]]
         while True:
             W8 = _r8(W)
             Ws8 = _r8(max(Ws, W + 1))
@@ -266,6 +277,19 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
                 Wb = _tc_width((v for col in bcols for v in col), Ws8)
                 b_rows = np.stack([ints_to_tc_rows(col, Wb)
                                    for col in bcols])
+            # solve-stream width segments (forward-sub values grow with
+            # level like factor values; det/bwd chunks pin full width
+            # via their max_level). First segment must hold b exactly.
+            if ssegplan is None:
+                ssegplan = plan_segments(es.solve.max_level, n,
+                                         max(Ws, W + 1),
+                                         max(Wmin_in, Wb + 1))
+            for sp in ssegplan:
+                sp[2] = min(max(sp[2], _r8(Wb + 1)), Ws8)
+            ssegplan[-1][2] = Ws8
+            ssegments = _merged(ssegplan)
+            ssegplan = [list(s) for s in ssegments]
+            Ss = len(ssegments)
             with phase_timer(st, "device"):
                 # ONE dispatch, ONE fetch (the tunnel pays a fixed
                 # ~45 ms per host sync, so never go piecemeal)
@@ -275,7 +299,8 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
                         pass1_events, pass2_events,
                         h_step, h_slot, h_div, fcnt, fev1, fev2,
                         scnt, sev1, sev2, val_dev, jnp.asarray(b_rows),
-                        hbm=hbm_mode, segments=segments)))
+                        hbm=hbm_mode, segments=segments,
+                        ssegments=ssegments)))
                 except jax.errors.JaxRuntimeError as e:
                     # a width rung too wide to COMPILE (tables overflow
                     # scoped VMEM) is ladder exhaustion, not a crash:
@@ -295,15 +320,19 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
             seg_ovf = [bool(flat[o + 2 * s + 1]) for s in range(S)]
             o += 2 * S
             det_row = flat[o:o + W8][None, :]; o += W8
-            X_h, sflags_h = [], []
+            X_h = []
+            sseg_ovf = [False] * Ss
             for c in range(nrhs):
-                sflags_h.append(flat[o:o + 2]); o += 2
+                for s in range(Ss):
+                    if flat[o + 1]:
+                        sseg_ovf[s] = True
+                    o += 2
                 X_h.append(flat[o:o + n * Ws8].reshape(n, Ws8))
                 o += n * Ws8
             sing = any(seg_sing)
             sing_seen = sing_seen or sing
             f_ovf = any(seg_ovf)
-            s_ovf = any(bool(f[1]) for f in sflags_h)
+            s_ovf = any(sseg_ovf)
             # a sing with no overflow in the SAME or any EARLIER segment
             # cannot be a truncation artifact: all arithmetic feeding
             # that pivot was overflow-clean, so the cancellation is real
@@ -329,13 +358,15 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
             # sing there is real (bound-exhaustion break below).
             if sing and sing_clean:
                 break                       # genuine cancellation
-            if sing:
-                # inconclusive (sing + overflow). ONE exact host REF LU
-                # pinned to THIS schedule's rows decides for good —
-                # either the pinned sequence truly cancels (replan), or
-                # it yields the exact factor values and therefore the
-                # exact width to jump to (skipping the rest of the
-                # blind ladder, each rung of which costs a compile).
+            if sing or (f_ovf and st.retries >= 2):
+                # inconclusive sing (riding with overflow), or a climb
+                # that is clearly going to take several rungs. ONE
+                # exact host REF LU pinned to THIS schedule's rows
+                # decides for good — either the pinned sequence truly
+                # cancels (replan), or it yields the exact factor
+                # values and therefore the exact width to jump to
+                # (every blind rung costs a compile; the host pass
+                # costs about one device solve).
                 chk = getattr(analysis, "fused_pin_check", None)
                 if chk is None or chk[0] != key:
                     with phase_timer(st, "pincheck"):
@@ -352,22 +383,30 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
                             chk = (key, None)
                     analysis.fused_pin_check = chk
                 if chk[1] is None:
+                    sing = True
                     break                   # proven cancellation
                 Wx = max(chk[1], W_in + 1)  # table also holds raw A
                 if W < Wx <= W_full:
                     W = Wx
                     Ws = max(Ws, W + 1)
                     segplan = None
+                    ssegplan = None
                     st.retries += 1
                     continue
             if f_ovf or s_ovf:
                 # only the FIRST overflowed segment's flag is
                 # trustworthy (its garbage feeds everything after it);
                 # widen it alone below the full width, escalate to the
-                # global ladder only when the full-width segment flags
+                # global ladder only when the full-width segment flags.
+                # A rung where BOTH the first and the full-width
+                # segment flag is wholesale undersized — collapsing it
+                # segment by segment wastes a compile per step, so go
+                # straight to the global ladder.
                 first_bad = seg_ovf.index(True) if f_ovf else None
                 if (first_bad is not None
-                        and segplan[first_bad][2] < W8):
+                        and segplan[first_bad][2] < W8
+                        and not (S > 1 and seg_ovf[0]
+                                 and seg_ovf[-1])):
                     segplan[first_bad][2] = min(
                         2 * segplan[first_bad][2], W8)
                     for s in range(first_bad + 1, S):
@@ -375,6 +414,18 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
                                             segplan[first_bad][2])
                     st.retries += 1
                     continue
+                # same per-segment policy for the solve stream (only
+                # reached with the factor stream clean or exhausted)
+                if not f_ovf and s_ovf:
+                    sbad = sseg_ovf.index(True)
+                    if ssegplan[sbad][2] < Ws8:
+                        ssegplan[sbad][2] = min(
+                            2 * ssegplan[sbad][2], Ws8)
+                        for s in range(sbad + 1, Ss):
+                            ssegplan[s][2] = max(ssegplan[s][2],
+                                                 ssegplan[sbad][2])
+                        st.retries += 1
+                        continue
                 W2, Ws2 = W, Ws
                 if f_ovf:
                     W2 = min(2 * W, W_full)
@@ -389,12 +440,15 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
                         f"(W={W}, Ws={Ws}) — internal invariant violated")
                 if W2 != W:
                     segplan = None          # widths rescale with W
+                if Ws2 != Ws:
+                    ssegplan = None
                 W, Ws = W2, Ws2
                 st.retries += 1
                 continue
             if options.max_limbs is None:
                 analysis.fused_width_cache = (W, Ws)
-                analysis.fused_seg_cache = (key, W, segments)
+                analysis.fused_seg_cache = (key, W, segments, Ws,
+                                            ssegments)
             with phase_timer(st, "unpack"):
                 det = tc_rows_to_ints(det_row)[0]
                 x = SlipMatrix.allocate(Kind.DENSE, Type.MPQ, n, nrhs)
@@ -418,6 +472,14 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
                 F = factorize(A, analysis, options)   # raises if singular
                 fixed_r = np.asarray(F.row_perm, dtype=np.int64)
                 analysis.sparse_fixed_r = fixed_r
+                # this factorization IS plan 1's pinned sequence: seed
+                # its exact width so plan 1 starts at the right rung
+                # instead of re-climbing (or re-running the host pass)
+                key1 = (heads_per_chunk, pass1_events, pass2_events,
+                        fixed_r.tobytes())
+                Wx1 = _tc_width((v for col in (F.Lcols + F.Ucols)
+                                 for _, v in col), 1 << 30) + 1
+                analysis.fused_pin_check = (key1, Wx1)
     # both plans singular-flagged (cannot happen with a pinned oracle
     # sequence unless something deeper is wrong) — last resort: the
     # dense full-pivoting kernel, which searches pivots dynamically.

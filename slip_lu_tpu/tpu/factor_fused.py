@@ -743,16 +743,16 @@ def solve_fused(n, E, W8, Ws8, WNS, WI8, C1, C2,
 
 @functools.partial(jax.jit, static_argnames=(
     "n", "E", "W8", "Ws8", "WN", "WNS", "WI8", "H", "C1", "C2", "hbm",
-    "segments"))
+    "segments", "ssegments"))
 def fused_solve_all(n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2,
                     h_step, h_slot, h_div, fcnt, fev1, fev2,
                     scnt, sev1, sev2, val_in, b_rows, hbm=False,
-                    segments=None):
+                    segments=None, ssegments=None):
     """ONE XLA program for the whole exact solve: factor stream, every
     RHS solve stream, and a single flat int32 result vector
 
-        [per segment: fsing, fovf] [det(W8)]
-        [then per rhs: ssing, sovf, X(n*Ws8)].
+        [per factor segment: fsing, fovf] [det(W8)]
+        [then per rhs, per solve segment: ssing, sovf] [X(n*Ws8)].
 
     The tunnel to the chip charges a fixed ~45 ms for every host sync
     (measured; see ROADMAP), so the entire solve must be one dispatch +
@@ -767,6 +767,14 @@ def fused_solve_all(n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2,
     with sign-extension / Hensel re-lift glue between segments
     (tpu/relift.py). val_in must be packed at segments[0]'s width.
     None = one full-width segment (identical to the classic path).
+
+    ssegments does the same for the SOLVE stream (forward-substitution
+    values grow with elimination level exactly like factor values; the
+    determinant-scale and back-substitution chunks sit at the full Ws8
+    by construction of their max_level). Between solve segments only X
+    sign-extends — the shared GT inverse table needs NO re-lift because
+    a Hensel inverse mod 2^(16*WI) truncates to a correct inverse mod
+    any smaller power (the kernel reads GT rows [:WNS_s]).
     """
     from .relift import relift_gt, widen_tc, widen_val
     if segments is None:
@@ -798,18 +806,29 @@ def fused_solve_all(n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2,
     parts = fparts + [SMT_d[n, :]]
     X8 = _r8(n + 1)
     nrhs, _, Wb = b_rows.shape
+    if ssegments is None:
+        ssegments = ((0, scnt.shape[0], Ws8),)
+    WIf = prev[1]
     for c in range(nrhs):
         col = b_rows[c]
-        if Wb < Ws8:
+        Ws0 = ssegments[0][2]
+        if Wb < Ws0:
             fill = jnp.where(col[:, Wb - 1:Wb] >= 0x8000, 0xFFFF, 0)
             col = jnp.concatenate(
-                [col, jnp.broadcast_to(fill, (col.shape[0], Ws8 - Wb))],
+                [col, jnp.broadcast_to(fill, (col.shape[0], Ws0 - Wb))],
                 axis=1)
-        xarr = jnp.zeros((X8, Ws8), jnp.int32).at[:n].set(col)
-        X_d, sflags = solve_fused(
-            n, E, W8, Ws8, WNS, prev[1], C1, C2, scnt, sev1, sev2,
-            val_d, SMT_d, GT_d, TZ_d, xarr, hbm=hbm)
-        parts.append(sflags[0, :2])
+        X_d = jnp.zeros((X8, Ws0), jnp.int32).at[:n].set(col[:, :Ws0])
+        pWs = Ws0
+        for (lo, hi, Ws_s) in ssegments:
+            if Ws_s != pWs:
+                X_d = widen_tc(X_d, pWs, Ws_s)
+            WNS_s = _r8(W8 + Ws_s + 2)
+            X_d, sflags = solve_fused(
+                n, E, W8, Ws_s, WNS_s, WIf, C1, C2,
+                scnt[lo:hi], sev1[lo:hi], sev2[lo:hi],
+                val_d, SMT_d, GT_d, TZ_d, X_d, hbm=hbm)
+            parts.append(sflags[0, :2])
+            pWs = Ws_s
         parts.append(X_d[:n].reshape(-1))
     return jnp.concatenate(parts)
 

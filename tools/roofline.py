@@ -37,12 +37,13 @@ HBM_BW = 800e9                        # bytes/s
 SYNC_FLOOR = 0.045                    # s per solve (tunnel dispatch+fetch)
 
 
-def stream_macs(es, W8, Ws8, WN, WNS, WI8, segments=None):
+def stream_macs(es, W8, Ws8, WN, WNS, WI8, segments=None,
+                ssegments=None):
     """Exact limb-MAC counts per stream from the chunk count arrays.
 
-    segments: the adaptive-width plan ((lo, hi, W8s), ...) actually run
-    (backslash_fused caches it) — factor chunks are costed at their own
-    segment's widths."""
+    segments/ssegments: the adaptive-width plans ((lo, hi, W8s), ...)
+    actually run (backslash_fused caches them) — chunks are costed at
+    their own segment's widths."""
     from slip_lu_tpu.tpu.factor_fused import _r8
     f, s = es.factor, es.solve
     if segments is None:
@@ -64,9 +65,17 @@ def stream_macs(es, W8, Ws8, WN, WNS, WI8, segments=None):
         f_macs += heads * (W8s * W8s + WNs * WNs)
         f_macs += hchunks * 8 * (8 * WIs * WIs // 3)
         fev += ev
-    sev = int(s.counts[:, 1].sum() + s.counts[:, 2].sum())
-    # per solve event: t*m (Ws8xW8) + a*b (W8xWs8) + q (WNSxWNS)
-    s_macs = sev * (2 * W8 * Ws8 + WNS * WNS)
+    s_macs = 0
+    sev = 0
+    for (lo, hi, Ws_s) in (ssegments or ((0, s.nchunks, Ws8),)):
+        WNS_s = _r8(W8 + Ws_s + 2)
+        ev = int(s.counts[lo:hi, 1].sum() + s.counts[lo:hi, 2].sum())
+        ev1 = int(s.counts[lo:hi, 1].sum())
+        # per solve event: t*m (Ws8xW8) + a*b (W8xWs8) + q (WNSxWNS);
+        # pass 1 (fixes, det scale, pivot divisions) has no a*b
+        s_macs += ev * (W8 * Ws_s + WNS_s * WNS_s) \
+            + (ev - ev1) * W8 * Ws_s
+        sev += ev
     return f_macs, s_macs, fev, sev
 
 
@@ -104,8 +113,9 @@ def main():
         _, (sched, r, es, _, _) = ana.fused_cache
         seg = getattr(ana, "fused_seg_cache", None)
         segments = seg[2] if seg is not None else None
+        ssegments = seg[4] if seg is not None and len(seg) > 4 else None
         fm, sm, fev, sev = stream_macs(es, W8, Ws8, WN, WNS, WI8,
-                                       segments)
+                                       segments, ssegments)
         macs = fm + sm
         E8 = _r8(es.nnz + 1)
         hbm = val_table_in_hbm(E8, W8)
