@@ -787,7 +787,14 @@ def fused_solve_all(n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2,
     prev = None
     for si, (lo, hi, W8s) in enumerate(segments):
         WNs = _r8(2 * W8s + 2)
-        WIs = max(WNs, WNS, WI8) if si == S - 1 else WNs
+        # segmented runs lift head inverses only to the FACTOR modulus
+        # (the per-chunk Hensel lift is quadratic in its width, and the
+        # solve modulus WNS can be much wider); GT re-lifts to the
+        # solve width ONCE, batched 128 rows at a time, below.
+        # Unsegmented (small) runs keep the single-width table — a
+        # relift launch costs more than it saves there.
+        WIs = WNs if (S > 1 and si == S - 1) \
+            else (max(WNs, WNS, WI8) if si == S - 1 else WNs)
         hbms = val_table_in_hbm(E8, W8s)
         tables = None
         if prev is not None:
@@ -809,6 +816,9 @@ def fused_solve_all(n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2,
     if ssegments is None:
         ssegments = ((0, scnt.shape[0], Ws8),)
     WIf = prev[1]
+    if WIf < WNS:
+        GT_d = relift_gt(SMT_d, GT_d, TZ_d, W8, WIf, WNS)
+        WIf = WNS
     for c in range(nrhs):
         col = b_rows[c]
         Ws0 = ssegments[0][2]

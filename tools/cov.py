@@ -49,8 +49,10 @@ mon.register_callback(TOOL, mon.events.LINE, _on_line)
 mon.set_events(TOOL, mon.events.LINE)
 
 import pytest
+# -o addopts= clears pytest.ini's "-n 2 --dist loadfile" (xdist would
+# run tests in worker subprocesses, out of this monitor's reach)
 rc = pytest.main([%(target)r, "-q", "-p", "no:cacheprovider",
-                  "-p", "no:xdist", "-m", %(mark)r])
+                  "-o", "addopts=", "-m", %(mark)r])
 mon.set_events(TOOL, 0)
 with open(%(out)r, "w") as fh:
     json.dump({k: sorted(v) for k, v in covered.items()}, fh)

@@ -52,7 +52,12 @@ def stream_macs(es, W8, Ws8, WN, WNS, WI8, segments=None,
     fev = 0
     for si, (lo, hi, W8s) in enumerate(segments):
         WNs = _r8(2 * W8s + 2)
-        WIs = max(WNs, WNS, WI8) if si == len(segments) - 1 else WNs
+        # segmented runs lift at the factor modulus only (one batched
+        # GT relift to WNS afterwards — negligible); unsegmented keep
+        # the shared-width table
+        WIs = WNs if len(segments) > 1 \
+            else (max(WNs, WNS, WI8) if si == len(segments) - 1
+                  else WNs)
         ev = int(f.counts[lo:hi, 1].sum() + f.counts[lo:hi, 2].sum())
         heads = int(f.counts[lo:hi, 0].sum())
         hchunks = int((f.counts[lo:hi, 0] > 0).sum())
