@@ -16,9 +16,10 @@ residues are corrected to the true signed product mod 2**(16*Wn) with
 two cheap rank-1 terms, subtraction is complement+carry, and the Hensel
 inverse of a NEGATIVE odd divisor works untouched because Newton
 iteration is sign-blind mod 2**M. Exact division q = num * inv(odd(d))
-* 2^-tz runs entirely at modulus width Wn >= 2W+1 where the true
-quotient always fits, so a wrapped quotient is impossible and
-fits_in(q, W) is a SOUND overflow detector (this closes, by
+* 2^-tz runs as a VERIFIED SHORT DIVISION at quotient-sized modulus
+WQ = W+2: a wrapped quotient cannot pass the exact re-multiplication
+check q*d == num (tpu/factor_fused._pass_body), so fits_in(q, W) plus
+the verify flag is a SOUND overflow detector (this closes, by
 construction, the class of silent-wrap bugs the round-1 advisor found
 in the sign-magnitude kernels).
 

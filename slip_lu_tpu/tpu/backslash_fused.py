@@ -242,7 +242,8 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
             Ws8 = _r8(max(Ws, W + 1))
             WN = _r8(2 * W8 + 2)
             WNS = _r8(W8 + Ws8 + 2)
-            WI8 = max(WN, WNS)
+            WI8 = _r8(max(W8, Ws8) + 2)   # GT width: verified short
+            #                                 division (factor_fused)
             st.W, st.Ws = W8, Ws8
             if segplan is None:
                 segplan = plan_segments(es.factor.max_level, n, W,
@@ -595,7 +596,7 @@ def factorize_solve_tpu_fused_many(As, analysis, bs,
         Ws8 = _r8(max(Ws, W + 1))
         WN = _r8(2 * W8 + 2)
         WNS = _r8(W8 + Ws8 + 2)
-        WI8 = max(WN, WNS)
+        WI8 = _r8(max(W8, Ws8) + 2)   # GT width: verified short division
         st.W, st.Ws = W8, Ws8
         if segplan is None:
             segplan = plan_segments(es.factor.max_level, n, W, Wmin_in)

@@ -28,10 +28,12 @@ compute. Small problems keep the all-VMEM layout (same code, static
 flag). This is what scales the path across the 100K-1M nnz regime.
 
 Arithmetic is two's-complement multi-limb (ops/pallas_limbs.py); all
-divisions run at modulus width WN where the true quotient provably
-fits, making overflow detection sound by construction. Overflow and
-exact-cancellation (singular pivot) come back as flags; the driver
-widens-and-retries or replans (backslash_fused.py).
+divisions run as VERIFIED SHORT DIVISIONS — the Hensel product at the
+quotient-sized modulus WQ = target+2 limbs, re-multiplied against the
+divisor and compared with the numerator so that any wrapped quotient
+is caught exactly (see _pass_body). Overflow and exact-cancellation
+(singular pivot) come back as flags; the driver widens-and-retries or
+replans (backslash_fused.py).
 """
 
 from __future__ import annotations
@@ -142,9 +144,9 @@ def _planes_T(gat, C, hbm):
     return gat[:C, :].T
 
 
-def _pass_body(C, Wt, Wo, W8, WN, WI8, E_dummy,
+def _pass_body(C, Wt, Wo, W8, WN, WQ, WV, E_dummy,
                cnt, ev_ref, tgt_ref, a_ref, SMT_ref, GT_ref, TZ_ref,
-               gat_t, gat_m, gat_a, gat_b, gat_g, gat_z, scat,
+               gat_t, gat_m, gat_a, gat_b, gat_g, gat_z, gat_dm, scat,
                conv, flag_ref, b_src_ref, flag_slot=1,
                hbm=(False, False, False), sem=None, KR=1,
                has_ab=True, m0=None, d0=None):
@@ -154,6 +156,16 @@ def _pass_body(C, Wt, Wo, W8, WN, WI8, E_dummy,
     Wt: limb width of target rows (W8 for factor, Ws8 for solve);
     Wo: output width = Wt. a operands always come from the value table
     (width W8); b operands from b_src_ref (val for factor, X for solve).
+
+    VERIFIED SHORT DIVISION: the exact quotient fits Wo limbs whenever
+    the write is overflow-clean, so the Hensel product runs at the
+    SHORT modulus WQ = _r8(Wo + 2) (cost ~WQ^2 instead of WN^2) and a
+    verification multiply q'*rho_div restores soundness: WV >= WQ + W8
+    rows make residue equality imply INTEGER equality (both sides fit
+    WQ + W8 limbs signed), so `verify ok` <=> q' is the exact quotient,
+    and then fits_in(q', Wo) is an exact overflow detector. Any
+    mismatch (true quotient too wide for WQ) raises the overflow flag
+    and the driver widens-and-retries — never a wrong answer.
 
     cnt is the chunk's REAL event count (SMEM scalar): gather/scatter
     loops run cnt iterations, not capacity C; lanes >= cnt hold stale
@@ -188,6 +200,7 @@ def _pass_body(C, Wt, Wo, W8, WN, WI8, E_dummy,
             gat_m[pl.ds(e, 1), :] = SMT_ref[pl.ds(m_, 1), :]
             gat_g[pl.ds(e, 1), :] = GT_ref[pl.ds(d_, 1), :]
             gat_z[pl.ds(e, 1), :] = TZ_ref[pl.ds(d_, 1), :]
+            gat_dm[pl.ds(e, 1), :] = SMT_ref[pl.ds(d_, 1), :]
             if t_hbm:
                 _gather_row(tgt_ref, t, gat_t, e, KR, sem)
             else:
@@ -226,7 +239,7 @@ def _pass_body(C, Wt, Wo, W8, WN, WI8, E_dummy,
             lax.fori_loop(0, cnt, gwait, 0)
 
         tT = _planes_T(gat_t, C, t_hbm)[:Wt]           # [Wt, C]
-        iT[:] = gat_g[:C, :].T[:WN]                    # [WN, C]
+        iT[:] = gat_g[:C, :].T[:WQ]                    # [WQ, C]
         tz = gat_z[:C, :].T[0:1]                       # [1, C]
 
         # P side: target * rho_mult (skipped whole when mult == 0)
@@ -258,7 +271,11 @@ def _pass_body(C, Wt, Wo, W8, WN, WI8, E_dummy,
                              pk.carry_normalize(pB[:], 2 * MASK16))
 
         # exact division by rho_div: shift out tz bits, multiply by the
-        # Hensel inverse mod 2**(16*WN) — the true quotient fits in WN
+        # Hensel inverse at the SHORT modulus 2**(16*WQ), then verify
+        # q'*rho_div == num exactly (residues mod 2**(16*WV) with both
+        # sides < 2**(16*WV-1) in magnitude, so equality is integer
+        # equality); a mismatch poisons q's top limb so the fits_in
+        # overflow check below flags it — see the docstring proof
         @pl.when(d0)
         def _qd0():
             qb[:] = num
@@ -266,7 +283,17 @@ def _pass_body(C, Wt, Wo, W8, WN, WI8, E_dummy,
         @pl.when(~d0)
         def _qd1():
             shifted = pk.shr_bits(num, tz, W8)
-            qb[:] = pk.mul_mod(shifted, iT, 0, WN, acc0, acc1, WN)
+            qp = pk.mul_mod(shifted[:WQ], iT, 0, WQ, acc0, acc1, WQ)
+            mT[:] = gat_dm[:C, :].T[:W8]               # rho_div, [W8, C]
+            vu = pk.mul_mod(qp, mT, 0, W8, acc0, acc1, WV)
+            posv, negv = _signed_terms(vu, qp, mT[:], WV)
+            v = pk.sub_mod(pk.carry_normalize(vu + posv, 2 * MASK16),
+                           pk.carry_normalize(negv, 2 * MASK16))
+            bad = ~jnp.all(v == pk.sign_extend(num, WV), axis=0,
+                           keepdims=True)              # [1, C]
+            q_ext = pk.sign_extend(qp, WN)
+            top = jnp.where(bad, q_ext[-1:] ^ 0x5555, q_ext[-1:])
+            qb[:] = pk._cat([q_ext[:-1], top])
 
         q = qb[:]
         lane = lax.broadcasted_iota(jnp.int32, (1, C), 1)
@@ -303,7 +330,8 @@ def _pass_body(C, Wt, Wo, W8, WN, WI8, E_dummy,
 
 
 def _factor_kernel(h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
-                   *rest, n, E, W8, WN, WI8, H, C1, C2, hbm, KR, first):
+                   *rest, n, E, W8, WN, WQ, WV, WI8, H, C1, C2, hbm, KR,
+                   first):
     # later segments receive the previous tables as ANY-memory inputs
     # (a VMEM block spec here would DOUBLE the table footprint — the
     # in-window and out-window both count against scoped VMEM, which
@@ -316,11 +344,11 @@ def _factor_kernel(h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
         SMT_in, GT_in, TZ_in = rest[:3]
         val, SMT, GT, TZ, flags = rest[3:8]
         scratch = rest[8:]
-    (gat_t, gat_m, gat_a, gat_b, gat_g, gat_z, scat,
+    (gat_t, gat_m, gat_a, gat_b, gat_g, gat_z, gat_dm, scat,
      mT1, bT1, iT1, acc0a, acc1a, pA1, pB1, qb1,
      mT2, bT2, iT2, acc0b, acc1b, pA2, pB2, qb2,
-     hm, hi, hr, hacc0, hacc1, ld, lx, lu, ltz, flag_ref) = scratch[:33]
-    extra = scratch[33:]
+     hm, hi, hr, hacc0, hacc1, ld, lx, lu, ltz, flag_ref) = scratch[:34]
+    extra = scratch[34:]
     if hbm:
         hrows, sem = extra
     else:
@@ -390,22 +418,36 @@ def _factor_kernel(h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
             else:
                 drow = val[pl.ds(slot, 1), :]
             dcol = _col_of_row(drow, W8)                        # [W8, 8]
-            hr[:] = pk.sign_extend(dcol, WN)
+            hr[:] = pk.sign_extend(dcol, WQ)
 
             # history fix of the diagonal — skipped when its last update
             # already brought it to level k-1 (dv == k: multiply and
-            # divide by the same rho_{k-1}, an identity)
+            # divide by the same rho_{k-1}, an identity). Division runs
+            # at the short modulus WQ + verification, exactly like the
+            # batched passes (see _pass_body docstring).
             @pl.when(dv != k)
             def _fix():
                 hm[:] = _col_of_row(SMT[pl.ds(k, 1), :], W8)
-                hi[:] = _col_of_row(GT[pl.ds(dv, 1), :], WN)
+                hi[:] = _col_of_row(GT[pl.ds(dv, 1), :], WQ)
                 tzv = TZ[pl.ds(dv, 1), :]                       # [1, 8]
                 p1u = pk.mul_mod(dcol, hm, 0, W8, hacc0, hacc1, WN)
                 pos1, neg1 = _signed_terms(p1u, dcol, hm[:], WN)
                 P = pk.carry_normalize(p1u + pos1, 2 * MASK16)
                 num = pk.sub_mod(P, pk.carry_normalize(neg1, 2 * MASK16))
                 shifted = pk.shr_bits(num, tzv, W8)
-                hr[:] = pk.mul_mod(shifted, hi, 0, WN, hacc0, hacc1, WN)
+                qp = pk.mul_mod(shifted[:WQ], hi, 0, WQ, hacc0, hacc1,
+                                WQ)
+                hm[:] = _col_of_row(SMT[pl.ds(dv, 1), :], W8)
+                vu = pk.mul_mod(qp, hm, 0, W8, hacc0, hacc1, WV)
+                posv, negv = _signed_terms(vu, qp, hm[:], WV)
+                v = pk.sub_mod(
+                    pk.carry_normalize(vu + posv, 2 * MASK16),
+                    pk.carry_normalize(negv, 2 * MASK16))
+                bad = (~jnp.all(v == pk.sign_extend(num, WV), axis=0,
+                                keepdims=True)).astype(jnp.int32)[0, 0]
+                flag_ref[1] = flag_ref[1] | bad
+                flag_ref[2] = flag_ref[2] | bad
+                hr[:] = qp
 
             rho = hr[:]
             zer = pk.is_zero(rho)                               # [1, 8]
@@ -473,14 +515,16 @@ def _factor_kernel(h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
     # ---------------- phases B and C: the two batched passes ----------
     vh = (hbm, hbm, hbm)
     fl = cnts[0, 0, 3]
-    _pass_body(C1, W8, W8, W8, WN, WI8, E, cnts[0, 0, 1], ev1, val, val,
-               SMT, GT, TZ, gat_t, gat_m, gat_a, gat_b, gat_g, gat_z,
-               scat, (mT1, bT1, iT1, acc0a, acc1a, pA1, pB1, qb1),
+    _pass_body(C1, W8, W8, W8, WN, WQ, WV, E, cnts[0, 0, 1], ev1, val,
+               val, SMT, GT, TZ, gat_t, gat_m, gat_a, gat_b, gat_g,
+               gat_z, gat_dm, scat,
+               (mT1, bT1, iT1, acc0a, acc1a, pA1, pB1, qb1),
                flag_ref, val, flag_slot=3, hbm=vh, sem=sem, KR=KR,
                has_ab=False, m0=(fl & 1) != 0, d0=(fl & 4) != 0)
-    _pass_body(C2, W8, W8, W8, WN, WI8, E, cnts[0, 0, 2], ev2, val, val,
-               SMT, GT, TZ, gat_t, gat_m, gat_a, gat_b, gat_g, gat_z,
-               scat, (mT2, bT2, iT2, acc0b, acc1b, pA2, pB2, qb2),
+    _pass_body(C2, W8, W8, W8, WN, WQ, WV, E, cnts[0, 0, 2], ev2, val,
+               val, SMT, GT, TZ, gat_t, gat_m, gat_a, gat_b, gat_g,
+               gat_z, gat_dm, scat,
+               (mT2, bT2, iT2, acc0b, acc1b, pA2, pB2, qb2),
                flag_ref, val, flag_slot=4, hbm=vh, sem=sem, KR=KR,
                has_ab=True, m0=(fl & 2) != 0, d0=(fl & 8) != 0)
 
@@ -511,11 +555,14 @@ def factor_fused(n, E, W8, WN, WI8, H, C1, C2,
     E8 = _r8(E + 1)
     n8 = _r8(n + 2)
     KR = val_in.shape[0] // E8 if hbm else 1
-    WV = val_in.shape[1]
     first = tables is None
+    WQ = min(WI8, _r8(W8 + 2))      # short-division quotient modulus
+    WV = _r8(WQ + W8)               # verification modulus (>= WQ + W8)
+    ACC = max(WN, 2 * WQ + 2, WV) + 24
+    HACC = max(2 * WI8, WN, WV) + 24
     kern = functools.partial(
-        _factor_kernel, n=n, E=E, W8=W8, WN=WN, WI8=WI8, H=H, C1=C1,
-        C2=C2, hbm=hbm, KR=KR, first=first)
+        _factor_kernel, n=n, E=E, W8=W8, WN=WN, WQ=WQ, WV=WV, WI8=WI8,
+        H=H, C1=C1, C2=C2, hbm=hbm, KR=KR, first=first)
     val_space = (pl.BlockSpec(memory_space=pl.ANY) if hbm else
                  pl.BlockSpec((E8, W8), lambda i: (0, 0),
                               memory_space=pltpu.VMEM))
@@ -527,28 +574,29 @@ def factor_fused(n, E, W8, WN, WI8, H, C1, C2,
         pltpu.VMEM(gshape, jnp.int32),        # gat_b
         pltpu.VMEM((C2, WI8), jnp.int32),     # gat_g
         pltpu.VMEM((C2, 8), jnp.int32),       # gat_z
+        pltpu.VMEM((C2, W8), jnp.int32),      # gat_dm
         pltpu.VMEM(gshape, jnp.int32),        # scat
         pltpu.VMEM((W8, C1), jnp.int32),      # mT1
         pltpu.VMEM((W8, C1), jnp.int32),      # bT1
-        pltpu.VMEM((WN, C1), jnp.int32),      # iT1
-        pltpu.VMEM((2 * WN + 24, C1), jnp.int32),   # acc0a
-        pltpu.VMEM((2 * WN + 24, C1), jnp.int32),   # acc1a
+        pltpu.VMEM((WQ, C1), jnp.int32),      # iT1
+        pltpu.VMEM((ACC, C1), jnp.int32),     # acc0a
+        pltpu.VMEM((ACC, C1), jnp.int32),     # acc1a
         pltpu.VMEM((WN, C1), jnp.int32),      # pA1
         pltpu.VMEM((WN, C1), jnp.int32),      # pB1
         pltpu.VMEM((WN, C1), jnp.int32),      # qb1
         pltpu.VMEM((W8, C2), jnp.int32),      # mT2
         pltpu.VMEM((W8, C2), jnp.int32),      # bT2
-        pltpu.VMEM((WN, C2), jnp.int32),      # iT2
-        pltpu.VMEM((2 * WN + 24, C2), jnp.int32),   # acc0b
-        pltpu.VMEM((2 * WN + 24, C2), jnp.int32),   # acc1b
+        pltpu.VMEM((WQ, C2), jnp.int32),      # iT2
+        pltpu.VMEM((ACC, C2), jnp.int32),     # acc0b
+        pltpu.VMEM((ACC, C2), jnp.int32),     # acc1b
         pltpu.VMEM((WN, C2), jnp.int32),      # pA2
         pltpu.VMEM((WN, C2), jnp.int32),      # pB2
         pltpu.VMEM((WN, C2), jnp.int32),      # qb2
         pltpu.VMEM((W8, 8), jnp.int32),       # hm
-        pltpu.VMEM((WN, 8), jnp.int32),       # hi
-        pltpu.VMEM((WN, 8), jnp.int32),       # hr
-        pltpu.VMEM((2 * WI8 + 24, 8), jnp.int32),   # hacc0
-        pltpu.VMEM((2 * WI8 + 24, 8), jnp.int32),   # hacc1
+        pltpu.VMEM((WQ, 8), jnp.int32),       # hi
+        pltpu.VMEM((WQ, 8), jnp.int32),       # hr
+        pltpu.VMEM((HACC, 8), jnp.int32),     # hacc0
+        pltpu.VMEM((HACC, 8), jnp.int32),     # hacc1
         pltpu.VMEM((WI8, 8), jnp.int32),      # ld
         pltpu.VMEM((WI8, 8), jnp.int32),      # lx
         pltpu.VMEM((WI8, 8), jnp.int32),      # lu
@@ -618,10 +666,11 @@ def factor_fused(n, E, W8, WN, WI8, H, C1, C2,
 
 def _solve_kernel(cnts, ev1, ev2, val, SMT, GT, TZ, X_in,
                   X, flags,
-                  gat_t, gat_m, gat_a, gat_b, gat_g, gat_z, scat,
+                  gat_t, gat_m, gat_a, gat_b, gat_g, gat_z, gat_dm, scat,
                   mT1, bT1, iT1, acc0a, acc1a, pA1, pB1, qb1,
                   mT2, bT2, iT2, acc0b, acc1b, pA2, pB2, qb2, flag_ref,
-                  *extra, n, E, W8, Ws8, WNS, WI8, C1, C2, hbm, KR):
+                  *extra, n, E, W8, Ws8, WNS, WQ, WV, WI8, C1, C2, hbm,
+                  KR):
     sem = extra[0] if hbm else None
     i = pl.program_id(0)
 
@@ -633,14 +682,16 @@ def _solve_kernel(cnts, ev1, ev2, val, SMT, GT, TZ, X_in,
 
     vh = (False, hbm, False)
     fl = cnts[0, 0, 3]
-    _pass_body(C1, Ws8, Ws8, W8, WNS, WI8, n, cnts[0, 0, 1], ev1, X, val,
-               SMT, GT, TZ, gat_t, gat_m, gat_a, gat_b, gat_g, gat_z,
-               scat, (mT1, bT1, iT1, acc0a, acc1a, pA1, pB1, qb1),
+    _pass_body(C1, Ws8, Ws8, W8, WNS, WQ, WV, n, cnts[0, 0, 1], ev1, X,
+               val, SMT, GT, TZ, gat_t, gat_m, gat_a, gat_b, gat_g,
+               gat_z, gat_dm, scat,
+               (mT1, bT1, iT1, acc0a, acc1a, pA1, pB1, qb1),
                flag_ref, X, flag_slot=3, hbm=vh, sem=sem, KR=KR,
                has_ab=False, m0=(fl & 1) != 0, d0=(fl & 4) != 0)
-    _pass_body(C2, Ws8, Ws8, W8, WNS, WI8, n, cnts[0, 0, 2], ev2, X, val,
-               SMT, GT, TZ, gat_t, gat_m, gat_a, gat_b, gat_g, gat_z,
-               scat, (mT2, bT2, iT2, acc0b, acc1b, pA2, pB2, qb2),
+    _pass_body(C2, Ws8, Ws8, W8, WNS, WQ, WV, n, cnts[0, 0, 2], ev2, X,
+               val, SMT, GT, TZ, gat_t, gat_m, gat_a, gat_b, gat_g,
+               gat_z, gat_dm, scat,
+               (mT2, bT2, iT2, acc0b, acc1b, pA2, pB2, qb2),
                flag_ref, X, flag_slot=4, hbm=vh, sem=sem, KR=KR,
                has_ab=True, m0=(fl & 2) != 0, d0=(fl & 8) != 0)
 
@@ -663,10 +714,12 @@ def solve_fused(n, E, W8, Ws8, WNS, WI8, C1, C2,
     X8 = _r8(n + 1)
     E8 = _r8(E + 1)
     KR = val.shape[0] // E8 if hbm else 1
-    WV = val.shape[1]
+    WQ = min(WI8, _r8(Ws8 + 2))     # short-division quotient modulus
+    WV = _r8(WQ + W8)               # verification modulus (>= WQ + W8)
+    ACC = max(WNS, 2 * WQ + 2, WV) + 24
     kern = functools.partial(
-        _solve_kernel, n=n, E=E, W8=W8, Ws8=Ws8, WNS=WNS, WI8=WI8,
-        C1=C1, C2=C2, hbm=hbm, KR=KR)
+        _solve_kernel, n=n, E=E, W8=W8, Ws8=Ws8, WNS=WNS, WQ=WQ, WV=WV,
+        WI8=WI8, C1=C1, C2=C2, hbm=hbm, KR=KR)
     val_space = (pl.BlockSpec(memory_space=pl.ANY) if hbm else
                  pl.BlockSpec((val.shape[0], W8), lambda i: (0, 0),
                               memory_space=pltpu.VMEM))
@@ -678,20 +731,21 @@ def solve_fused(n, E, W8, Ws8, WNS, WI8, C1, C2,
         pltpu.VMEM((C2, Ws8), jnp.int32),     # gat_b
         pltpu.VMEM((C2, WI8), jnp.int32),     # gat_g
         pltpu.VMEM((C2, 8), jnp.int32),       # gat_z
+        pltpu.VMEM((C2, W8), jnp.int32),      # gat_dm
         pltpu.VMEM((C2, Ws8), jnp.int32),     # scat
         pltpu.VMEM((W8, C1), jnp.int32),      # mT1
         pltpu.VMEM((Ws8, C1), jnp.int32),     # bT1
-        pltpu.VMEM((WNS, C1), jnp.int32),     # iT1
-        pltpu.VMEM((2 * WNS + 24, C1), jnp.int32),  # acc0a
-        pltpu.VMEM((2 * WNS + 24, C1), jnp.int32),  # acc1a
+        pltpu.VMEM((WQ, C1), jnp.int32),      # iT1
+        pltpu.VMEM((ACC, C1), jnp.int32),     # acc0a
+        pltpu.VMEM((ACC, C1), jnp.int32),     # acc1a
         pltpu.VMEM((WNS, C1), jnp.int32),     # pA1
         pltpu.VMEM((WNS, C1), jnp.int32),     # pB1
         pltpu.VMEM((WNS, C1), jnp.int32),     # qb1
         pltpu.VMEM((W8, C2), jnp.int32),      # mT2
         pltpu.VMEM((Ws8, C2), jnp.int32),     # bT2
-        pltpu.VMEM((WNS, C2), jnp.int32),     # iT2
-        pltpu.VMEM((2 * WNS + 24, C2), jnp.int32),  # acc0b
-        pltpu.VMEM((2 * WNS + 24, C2), jnp.int32),  # acc1b
+        pltpu.VMEM((WQ, C2), jnp.int32),      # iT2
+        pltpu.VMEM((ACC, C2), jnp.int32),     # acc0b
+        pltpu.VMEM((ACC, C2), jnp.int32),     # acc1b
         pltpu.VMEM((WNS, C2), jnp.int32),     # pA2
         pltpu.VMEM((WNS, C2), jnp.int32),     # pB2
         pltpu.VMEM((WNS, C2), jnp.int32),     # qb2
@@ -774,7 +828,7 @@ def fused_solve_all(n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2,
     by construction of their max_level). Between solve segments only X
     sign-extends — the shared GT inverse table needs NO re-lift because
     a Hensel inverse mod 2^(16*WI) truncates to a correct inverse mod
-    any smaller power (the kernel reads GT rows [:WNS_s]).
+    any smaller power (the kernel reads GT rows [:WQ_s]).
     """
     from .relift import relift_gt, widen_tc, widen_val
     if segments is None:
@@ -787,14 +841,15 @@ def fused_solve_all(n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2,
     prev = None
     for si, (lo, hi, W8s) in enumerate(segments):
         WNs = _r8(2 * W8s + 2)
-        # segmented runs lift head inverses only to the FACTOR modulus
-        # (the per-chunk Hensel lift is quadratic in its width, and the
-        # solve modulus WNS can be much wider); GT re-lifts to the
-        # solve width ONCE, batched 128 rows at a time, below.
-        # Unsegmented (small) runs keep the single-width table — a
-        # relift launch costs more than it saves there.
-        WIs = WNs if (S > 1 and si == S - 1) \
-            else (max(WNs, WNS, WI8) if si == S - 1 else WNs)
+        # segmented runs lift head inverses only to that segment's
+        # SHORT division modulus _r8(W8s + 2) (the per-chunk Hensel
+        # lift is quadratic in its width; verified short division —
+        # _pass_body docstring — never needs more); GT re-lifts to the
+        # solve quotient width ONCE, batched 128 rows at a time, below.
+        # Unsegmented (small) runs lift straight to the final width —
+        # a relift launch costs more than it saves there.
+        WQf = _r8(W8s + 2)
+        WIs = max(WQf, WI8) if S == 1 else WQf
         hbms = val_table_in_hbm(E8, W8s)
         tables = None
         if prev is not None:
@@ -815,10 +870,11 @@ def fused_solve_all(n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2,
     nrhs, _, Wb = b_rows.shape
     if ssegments is None:
         ssegments = ((0, scnt.shape[0], Ws8),)
+    WQs = min(WI8, _r8(Ws8 + 2))    # solve-stream quotient modulus
     WIf = prev[1]
-    if WIf < WNS:
-        GT_d = relift_gt(SMT_d, GT_d, TZ_d, W8, WIf, WNS)
-        WIf = WNS
+    if WIf < WQs:
+        GT_d = relift_gt(SMT_d, GT_d, TZ_d, W8, WIf, WQs)
+        WIf = WQs
     for c in range(nrhs):
         col = b_rows[c]
         Ws0 = ssegments[0][2]
