@@ -41,6 +41,39 @@ class Pivot(enum.IntEnum):
     LARGEST = 5
 
 
+# Per-backend pivot semantics (documented deviation; see USERGUIDE
+# "Pivoting semantics by backend"):
+#
+#   backend        honors options.pivot?   actual rule
+#   -------        ---------------------   -----------
+#   host oracle    yes (all 6 schemes)     dynamic search per column,
+#                                          reference parity
+#                                          (slip_get_pivot.c dispatch)
+#   tpu (dense)    yes (all 6 schemes)     on-device masked tournament
+#                                          over limb magnitudes
+#   tpu-sparse /   NO — static schedule    pivots pinned to a
+#   tpu-fused                              zero-free transversal
+#                                          diagonal of B = A[r][:, q];
+#                                          on exact cancellation the
+#                                          driver replans with the
+#                                          host oracle's pivot rows
+#                                          (which DO follow
+#                                          options.pivot)
+#
+# Why: the scheduled paths need data-independent patterns; a dynamic
+# SMALLEST search would make every column's pattern (and the whole
+# schedule) value-dependent. The cost is bit-growth control: SMALLEST
+# (the reference default) minimizes pivot magnitude and hence the limb
+# width W. Measured max factor-entry width in limbs on the corpus,
+# pinned-transversal vs oracle SMALLEST (tools: /tmp-style probe,
+# factorize(fixed_r=schedule rows) vs factorize()): grid16 35/35,
+# grid24 79/79, sparse100 18/18, wide_range 15/15; tri1000 and uni10k
+# cancel on the pinned transversal and replan with the oracle's rows,
+# landing exactly on the SMALLEST widths (143, 18). Adversarial value
+# distributions can make the pinned choice wider — never wrong: every
+# width is overflow-checked and widened on demand.
+
+
 class Ordering(enum.IntEnum):
     """Fill-reducing column orderings (reference: SLIP_col_order enum)."""
 

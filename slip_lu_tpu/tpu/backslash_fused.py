@@ -42,7 +42,7 @@ from ..stats import SolveStats, phase_timer, record
 from .bounds import (_input_width, factor_width, hadamard_bits,
                      solve_width)
 from .factor_fused import (fused_solve_all, fused_solve_many,
-                           ints_to_tc_rows, tc_rows_to_ints,
+                           ints_to_tc_rows, lane_group, tc_rows_to_ints,
                            val_table_in_hbm, _r8, _r128)
 from .schedule import _permute_cols
 from .schedule_native import build_schedule_best
@@ -134,13 +134,38 @@ def _merged(segplan):
     return tuple((lo, hi, w) for lo, hi, w in out)
 
 
+def _auto_capacities(sched, n: int):
+    """Per-matrix chunk-stream event capacities.
+
+    Event-heavy matrices (grid/uniform fills: hundreds of IPGE updates
+    per step) want LARGE chunks — the per-chunk fixed cost (gather
+    loops, carry-normalize log passes, head phases) amortizes over more
+    events, and chunk count is capacity-bound there (measured grid24:
+    2080 chunks at C2=128, fill 0.61). Chain-like matrices (tri1000:
+    ~3 events/step, hazard-bound chunks) want SMALL capacities so the
+    VMEM scratch stays narrow. Aim chunk count ~ n/2 for the pass-2
+    stream: C2 ~ 2.2x the mean live-tile count per step, clamped to
+    [32, 512] powers of two; C1 = C2/4 (history fixes are the rarer
+    pass), floor 8."""
+    tp = np.asarray(sched.tile_pos)
+    per_step = float((tp < sched.nnz).sum()) / max(sched.n, 1)
+    C2 = 32
+    while C2 < 512 and C2 < 2.2 * per_step:
+        C2 *= 2
+    return max(8, C2 // 4), C2
+
+
 def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
                               b: SlipMatrix,
                               options: Optional[Options] = None,
                               heads_per_chunk: int = 8,
-                              pass1_events: int = 32,
-                              pass2_events: int = 128) -> SlipMatrix:
-    """Exact solve via the fused Pallas sparse path."""
+                              pass1_events: Optional[int] = None,
+                              pass2_events: Optional[int] = None) -> SlipMatrix:
+    """Exact solve via the fused Pallas sparse path.
+
+    pass1_events/pass2_events: chunk-stream event capacities; None
+    (default) auto-tunes them per matrix from the schedule's live-tile
+    statistics (_auto_capacities)."""
     options = options or Options()
     options.validate()
     if A.kind != Kind.CSC or A.type != Type.MPZ:
@@ -160,15 +185,22 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
         # plan 0: transversal-diagonal pivots; plan 1 (cancellation
         # repair): pin the host oracle's pivot rows — guaranteed nonzero
         with phase_timer(st, "schedule"):
+            skey = None if fixed_r is None else fixed_r.tobytes()
+            sc = getattr(analysis, "fused_sched_only_cache", None)
+            if sc is not None and sc[0] == skey:
+                sched, r = sc[1]
+            else:
+                sched, r = build_schedule_best(A, q, fixed_r)
+                analysis.fused_sched_only_cache = (skey, (sched, r))
+            c1a, c2a = _auto_capacities(sched, n)
+            p1 = pass1_events if pass1_events is not None else c1a
+            p2 = pass2_events if pass2_events is not None else c2a
             cache = getattr(analysis, "fused_cache", None)
-            key = (heads_per_chunk, pass1_events, pass2_events,
-                   None if fixed_r is None else fixed_r.tobytes())
+            key = (heads_per_chunk, p1, p2, skey)
             if cache is not None and cache[0] == key:
                 sched, r, es, dev_streams, avals = cache[1]
             else:
-                sched, r = build_schedule_best(A, q, fixed_r)
-                es = build_event_stream(sched, heads_per_chunk,
-                                        pass1_events, pass2_events)
+                es = build_event_stream(sched, heads_per_chunk, p1, p2)
                 dev_streams = _stream_arrays(es)
                 Aq = _permute_cols(A, q)
                 avals = [int(Aq.x[idx]) for c in range(n)
@@ -222,7 +254,7 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
             # previous rung's host check or pre-seeded at replan time)
             # beats any guess — start there
             pchk = getattr(analysis, "fused_pin_check", None)
-            if (pchk is not None and pchk[0] == key
+            if (pchk is not None and pchk[0] == skey
                     and pchk[1] is not None):
                 W = min(max(W, pchk[1], W_in + 1), W_full)
                 Ws = min(max(Ws, W + 1), Ws_full)
@@ -297,7 +329,7 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
                 try:
                     flat = np.asarray(jax.device_get(fused_solve_all(
                         n, E, W8, Ws8, WN, WNS, WI8, heads_per_chunk,
-                        pass1_events, pass2_events,
+                        p1, p2,
                         h_step, h_slot, h_div, fcnt, fev1, fev2,
                         scnt, sev1, sev2, val_dev, jnp.asarray(b_rows),
                         hbm=hbm_mode, segments=segments,
@@ -323,13 +355,30 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
             det_row = flat[o:o + W8][None, :]; o += W8
             X_h = []
             sseg_ovf = [False] * Ss
-            for c in range(nrhs):
+            # fused_solve_all batches multiple RHS onto the member
+            # lanes of one solve-stream run whenever the (final
+            # segment's) value table is VMEM-resident — mirror its
+            # rhs_lanes rule to read the flat layout back
+            rhs_lanes = nrhs > 1 and not val_table_in_hbm(
+                E8, segments[-1][2])
+            if rhs_lanes:
+                R8 = lane_group(nrhs)
                 for s in range(Ss):
-                    if flat[o + 1]:
+                    if flat[o + R8:o + 2 * R8].any():
                         sseg_ovf[s] = True
-                    o += 2
-                X_h.append(flat[o:o + n * Ws8].reshape(n, Ws8))
-                o += n * Ws8
+                    o += 2 * R8
+                blk = flat[o:o + n * R8 * Ws8].reshape(n, R8, Ws8)
+                o += n * R8 * Ws8
+                for c in range(nrhs):
+                    X_h.append(blk[:, c, :])
+            else:
+                for c in range(nrhs):
+                    for s in range(Ss):
+                        if flat[o + 1]:
+                            sseg_ovf[s] = True
+                        o += 2
+                    X_h.append(flat[o:o + n * Ws8].reshape(n, Ws8))
+                    o += n * Ws8
             sing = any(seg_sing)
             sing_seen = sing_seen or sing
             f_ovf = any(seg_ovf)
@@ -368,8 +417,11 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
                 # values and therefore the exact width to jump to
                 # (every blind rung costs a compile; the host pass
                 # costs about one device solve).
+                # keyed on the pinned row sequence only — the exact
+                # width of a pinned factorization is independent of
+                # chunk capacities
                 chk = getattr(analysis, "fused_pin_check", None)
-                if chk is None or chk[0] != key:
+                if chk is None or chk[0] != skey:
                     with phase_timer(st, "pincheck"):
                         from ..errors import SlipSingularError
                         from ..factorize import factorize
@@ -379,9 +431,9 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
                             Wx = _tc_width(
                                 (v for col in (F.Lcols + F.Ucols)
                                  for _, v in col), 1 << 30) + 1
-                            chk = (key, Wx)
+                            chk = (skey, Wx)
                         except SlipSingularError:
-                            chk = (key, None)
+                            chk = (skey, None)
                     analysis.fused_pin_check = chk
                 if chk[1] is None:
                     sing = True
@@ -476,8 +528,7 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
                 # this factorization IS plan 1's pinned sequence: seed
                 # its exact width so plan 1 starts at the right rung
                 # instead of re-climbing (or re-running the host pass)
-                key1 = (heads_per_chunk, pass1_events, pass2_events,
-                        fixed_r.tobytes())
+                key1 = fixed_r.tobytes()
                 Wx1 = _tc_width((v for col in (F.Lcols + F.Ucols)
                                  for _, v in col), 1 << 30) + 1
                 analysis.fused_pin_check = (key1, Wx1)
@@ -499,19 +550,26 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
 def factorize_solve_tpu_fused_many(As, analysis, bs,
                                    options: Optional[Options] = None,
                                    heads_per_chunk: int = 8,
-                                   pass1_events: int = 32,
-                                   pass2_events: int = 128):
+                                   pass1_events: int = 16,
+                                   pass2_events: int = 32):
     """Batched exact solves of pattern-sharing systems, fused path.
 
     The SURVEY §2.10 data-parallel axis done the way this runtime wants
     it: G matrices with identical (p, i) patterns share ONE schedule and
-    ONE event stream, each member ships its own value table, and every
-    factor+solve runs back to back inside ONE XLA program with ONE fetch
-    (factor_fused.fused_solve_many). On the tunneled chip the fixed
-    ~45 ms/dispatch dominates small solves, so this is ~G x faster than
-    G sequential calls — unlike the padded path's vmapped batching
-    (backslash_sparse.factorize_solve_tpu_sparse_many), whose
-    vmap-of-scatter lowering made it slower than sequential.
+    ONE event stream, and all members execute every chunk TOGETHER on
+    the vector lanes (member-lane batching, factor_fused._pass_body):
+    lane e*G + g carries event e of member g, every logical table row
+    holds G member rows. Narrow-lane arithmetic pads to 128 lanes
+    anyway, so for thin chunk streams the extra members are nearly
+    free — one dispatch, one fetch, and one set of per-chunk fixed
+    costs for the whole family (vs ~45 ms/dispatch per member on the
+    tunnel, plus G x the vector work, sequentially).
+
+    The member count is padded to a multiple of 8 (lane-slice
+    alignment) with copies of member 0, and large families run in
+    groups sized so heads*G <= 128 lift lanes and the event capacities
+    keep C*G within bounds. Families whose value table would need HBM
+    residency (G > 1 is all-VMEM) fall back to sequential solves.
 
     Members whose scheduled pivot hits an exact cancellation fall back
     to the single-matrix driver individually (which replans around the
@@ -535,14 +593,41 @@ def factorize_solve_tpu_fused_many(As, analysis, bs,
                                       A0.i[:int(A0.p[n])]):
             raise SlipIncorrectInputError(
                 "all matrices must share one sparsity pattern")
-    G = len(As)
+    GR = len(As)
     bzs = [matrix_copy(b, Kind.DENSE, Type.MPZ, options) for b in bs]
     nrhs = bzs[0].n
     if any(bz.m != n or bz.n != nrhs for bz in bzs):
         raise SlipIncorrectInputError("every b must be n x nrhs")
     if n == 0:
         return [SlipMatrix.allocate(Kind.DENSE, Type.MPQ, 0, nrhs)
-                for _ in range(G)]
+                for _ in range(GR)]
+
+    # lane budget: heads*G <= 128 (lift lanes), pass capacities * G
+    # bounded so scratch stays sane
+    gmax = min(128 // max(1, heads_per_chunk),
+               1024 // max(pass1_events, pass2_events))
+    gmax = max(8, (gmax // 8) * 8)
+    gmax = int(os.environ.get("SLIP_FUSED_GMAX", gmax))
+    xs = [None] * GR
+    for lo in range(0, GR, gmax):
+        sub = list(range(lo, min(lo + gmax, GR)))
+        G = lane_group(len(sub))   # pad to a multiple of 8 (hardware)
+        idx = sub + [sub[0]] * (G - len(sub))
+        sols = _fused_many_group(
+            [As[i] for i in idx], analysis, [bzs[i] for i in idx],
+            [bs[i] for i in idx], options, heads_per_chunk,
+            pass1_events, pass2_events, nrhs)
+        for j, i in enumerate(sub):
+            xs[i] = sols[j]
+    return xs
+
+
+def _fused_many_group(As, analysis, bzs, bs, options, heads_per_chunk,
+                      pass1_events, pass2_events, nrhs):
+    """One member-lane group (G = len(As), a multiple of 8)."""
+    G = len(As)
+    A0 = As[0]
+    n = A0.n
     st = SolveStats(backend="tpu-fused-many", n=n, nnz=int(A0.p[n]),
                     nrhs=nrhs)
     q = np.asarray(analysis.q, dtype=np.int64)
@@ -551,11 +636,20 @@ def factorize_solve_tpu_fused_many(As, analysis, bs,
     key = (heads_per_chunk, pass1_events, pass2_events,
            None if fr is None else fr.tobytes())
     with phase_timer(st, "schedule"):
-        sched, r = build_schedule_best(A0, q, fr)
-        es = build_event_stream(sched, heads_per_chunk, pass1_events,
-                                pass2_events)
+        # schedule/stream are value-independent: cache like the
+        # single-matrix driver (warm family solves skip the rebuild)
+        mcache = getattr(analysis, "fused_many_sched_cache", None)
+        if mcache is not None and mcache[0] == key:
+            sched, r, es, dev_streams = mcache[1]
+        else:
+            sched, r = build_schedule_best(A0, q, fr)
+            es = build_event_stream(sched, heads_per_chunk,
+                                    pass1_events, pass2_events)
+            dev_streams = _stream_arrays(es)
+            analysis.fused_many_sched_cache = (key, (sched, r, es,
+                                                     dev_streams))
         (h_step, h_slot, h_div, fcnt, fev1, fev2,
-         scnt, sev1, sev2) = _stream_arrays(es)
+         scnt, sev1, sev2) = dev_streams
         avals_g = []
         for A in As:
             Aq = _permute_cols(A, q)
@@ -564,6 +658,7 @@ def factorize_solve_tpu_fused_many(As, analysis, bs,
                                              int(Aq.p[c + 1]))])
     st.lnz, st.unz = es.lnz, es.unz
     E = es.nnz
+    avhash = hash(tuple(tuple(av) for av in avals_g))
 
     hb_g = [hadamard_bits(A) for A in As]
     W_full = max(factor_width(A, hbits=hb)
@@ -604,22 +699,31 @@ def factorize_solve_tpu_fused_many(As, analysis, bs,
         segplan = [list(s) for s in segments]
         S = len(segments)
         w0 = segments[0][2]
+        E8 = _r8(E + 1)
+        # member-lane batching is all-VMEM; if any segment's G-member
+        # table would need HBM residency, solve sequentially instead
+        if any(val_table_in_hbm(E8 * G, wseg) for _, _, wseg in segments):
+            record(st)
+            out = []
+            for g in range(G):
+                from ..analyze import analyze
+                out.append(factorize_solve_tpu_fused(
+                    As[g], analyze(As[g], options), bs[g], options))
+            return out
         with phase_timer(st, "pack"):
-            E8 = _r8(E + 1)
-            hbm_mode = val_table_in_hbm(E8, w0)
-            WV = _r128(w0) if hbm_mode else w0
-            vkey = (key, G, w0)
+            # the key must identify the member VALUES too — one
+            # analysis serves many groups/families (grouped calls
+            # reuse it back to back with different value stacks)
+            vkey = (key, G, w0, avhash)
             vc = getattr(analysis, "fused_many_val_cache", None)
             if vc is not None and vc[0] == vkey:
                 vstack = vc[1]
             else:
                 vstack = []
                 for av in avals_g:
-                    val_in = np.zeros((E8, WV), dtype=np.int32)
+                    val_in = np.zeros((E8, w0), dtype=np.int32)
                     val_in[np.asarray(es.init_pos), :w0] = \
                         ints_to_tc_rows(av, w0)
-                    if hbm_mode:
-                        val_in = val_in.reshape(E8 * (WV // 128), 128)
                     vstack.append(val_in)
                 vstack = jnp.asarray(np.stack(vstack))
                 analysis.fused_many_val_cache = (vkey, vstack)
@@ -640,28 +744,33 @@ def factorize_solve_tpu_fused_many(As, analysis, bs,
                 pass1_events, pass2_events, G,
                 h_step, h_slot, h_div, fcnt, fev1, fev2,
                 scnt, sev1, sev2, vstack, jnp.asarray(b_stack),
-                hbm=hbm_mode, segments=segments)))
-        per = 2 * S + W8 + nrhs * (2 + n * Ws8)
-        g_sing, g_ovf, g_sovf = [], [], []
-        dets, Xs = [], []
-        for g in range(G):
-            o = per * g
-            seg_sing = [bool(flat[o + 2 * s]) for s in range(S)]
-            seg_ovf = [bool(flat[o + 2 * s + 1]) for s in range(S)]
-            o += 2 * S
-            dets.append(flat[o:o + W8][None, :]); o += W8
-            xh, sov = [], False
-            for c in range(nrhs):
-                sov = sov or bool(flat[o + 1]); o += 2
-                xh.append(flat[o:o + n * Ws8].reshape(n, Ws8))
-                o += n * Ws8
-            Xs.append(xh)
-            g_sing.append(any(seg_sing))
-            g_ovf.append(seg_ovf)
-            g_sovf.append(sov)
-        f_ovf = any(any(so) for so in g_ovf)
-        s_ovf = any(g_sovf)
-        sing = any(g_sing)
+                hbm=False, segments=segments)))
+        # G-aware flat layout (fused_solve_all docstring):
+        # per factor segment [sing*G, ovf*G]; det G*W8; per rhs
+        # [per solve segment sing*G, ovf*G] then X rows (j*G+g)*Ws8
+        o = 0
+        g_segsing = np.zeros((G, S), dtype=bool)
+        g_segovf = np.zeros((G, S), dtype=bool)
+        for s in range(S):
+            g_segsing[:, s] = flat[o:o + G] != 0
+            g_segovf[:, s] = flat[o + G:o + 2 * G] != 0
+            o += 2 * G
+        dets = flat[o:o + G * W8].reshape(G, W8)
+        o += G * W8
+        Xs = [[] for _ in range(G)]
+        g_sovf = np.zeros(G, dtype=bool)
+        for c in range(nrhs):
+            g_sovf |= flat[o + G:o + 2 * G] != 0
+            o += 2 * G
+            xcol = flat[o:o + n * G * Ws8].reshape(n, G, Ws8)
+            o += n * G * Ws8
+            for g in range(G):
+                Xs[g].append(xcol[:, g, :])
+        g_sing = g_segsing.any(axis=1)
+        g_ovf = [list(g_segovf[g]) for g in range(G)]
+        f_ovf = bool(g_segovf.any())
+        s_ovf = bool(g_sovf.any())
+        sing = bool(g_sing.any())
 
         def _member_sing_clean(g):
             # a member's sing is genuine iff no overflow hit the same
@@ -669,7 +778,7 @@ def factorize_solve_tpu_fused_many(As, analysis, bs,
             # single-matrix driver)
             if not g_sing[g]:
                 return True
-            fs = next(s for s in range(S) if flat[per * g + 2 * s])
+            fs = int(np.argmax(g_segsing[g]))
             return not any(g_ovf[g][:fs + 1])
 
         sing_clean = sing and all(_member_sing_clean(g)
@@ -721,13 +830,13 @@ def factorize_solve_tpu_fused_many(As, analysis, bs,
             if g_sing[g] or any(g_ovf[g]) or g_sovf[g]:
                 xs.append(None)     # individual fallback below
                 continue
-            det = tc_rows_to_ints(dets[g])[0]
+            det = tc_rows_to_ints(dets[g:g + 1])[0]
             x = SlipMatrix.allocate(Kind.DENSE, Type.MPQ, n, nrhs)
             factor = As[g].scale / bzs[g].scale
             fnum, fden = factor.numerator, factor.denominator
             den_all = det * fden
             for c in range(nrhs):
-                xh = tc_rows_to_ints(Xs[g][c][:n])
+                xh = tc_rows_to_ints(Xs[g][c])
                 for k in range(n):
                     x.x[int(q[k]), c] = _mpq(xh[k] * fnum, den_all)
             xs.append(x)

@@ -108,6 +108,20 @@ def _signed_terms(pu, x, y, D):
     return pos, neg
 
 
+def lane_group(x: int) -> int:
+    """Member-lane count for x members: padded to a multiple of 8 on
+    hardware (row-slice alignment); exact in interpreter mode, where
+    padding would be real CPU work instead of free lanes."""
+    return x if _interpret() else -(-x // 8) * 8
+
+
+def _mo8(x, G: int):
+    """8-alignment hint for member-row offsets — only when TRUE
+    (G a multiple of 8); unpadded interpreter-mode member counts must
+    not claim alignment they don't have."""
+    return pl.multiple_of(x, 8) if G % 8 == 0 else x
+
+
 def _dma(src_ref, s_row, dst_ref, d_row, sem):
     return pltpu.make_async_copy(src_ref.at[pl.ds(s_row, 1), :],
                                  dst_ref.at[pl.ds(d_row, 1), :], sem)
@@ -144,12 +158,34 @@ def _planes_T(gat, C, hbm):
     return gat[:C, :].T
 
 
+def _fold_members(v, CL: int, G: int):
+    """[1, C*G] per-(event, member) mask, member-minor -> [1, G] per
+    member, by log-halving OR over the event axis (halving a
+    member-minor layout folds event blocks onto event blocks)."""
+    w = CL
+    while w > G:
+        w //= 2
+        v = v[:, :w] | v[:, w:2 * w]
+    return v
+
+
+def _facc_or(facc, cat: int, memb):
+    """OR a [1, G] per-member flag vector into accumulator row `cat`
+    (facc is [8, 128]; lanes beyond G keep their zeros)."""
+    G = memb.shape[1]
+    if G < 128:
+        memb = pk._cat([memb, jnp.zeros((1, 128 - G), jnp.int32)],
+                       axis=1)
+    facc[cat:cat + 1, :] = facc[cat:cat + 1, :] | memb
+
+
 def _pass_body(C, Wt, Wo, W8, WN, WQ, WV, E_dummy,
                cnt, ev_ref, tgt_ref, a_ref, SMT_ref, GT_ref, TZ_ref,
                gat_t, gat_m, gat_a, gat_b, gat_g, gat_z, gat_dm, scat,
-               conv, flag_ref, b_src_ref, flag_slot=1,
+               conv, facc, b_src_ref, flag_slot=1,
                hbm=(False, False, False), sem=None, KR=1,
-               has_ab=True, m0=None, d0=None):
+               has_ab=True, m0=None, d0=None,
+               G=1, a_g=True, tab_g=True):
     mT, bT, iT, acc0, acc1, pA, pB, qb = conv
     """One batched pass: gather -> fix/update formula -> scatter.
 
@@ -188,34 +224,66 @@ def _pass_body(C, Wt, Wo, W8, WN, WQ, WV, E_dummy,
     scalar semaphore (v5e has 2KB of semaphore memory — per-event sem
     arrays do not fit): since every phase is issue-all/wait-all, the
     summed waits exactly consume the summed signals.
+
+    MEMBER-LANE BATCHING (G > 1): G pattern-sharing systems ride the
+    vector lanes, member-MINOR — lane e*G + g holds event e of member
+    g. Member-ized tables store G consecutive rows per logical slot
+    (row slot*G + g), so one event gathers a G-row slice (offsets
+    provably 8-aligned: G is 1 or a multiple of 8). a_g=False means
+    the a-source is SHARED across members (multi-RHS solves: one
+    factored value table, G right-hand sides) and each a row is
+    replicated across the member lanes. Narrow-lane arithmetic pads
+    to 128 lanes anyway, so thin streams get the extra members nearly
+    free. Flags accumulate PER MEMBER into facc[cat, member]
+    (categories: 0 sing, 1 any-ovf, 2 heads, 3 pass1, 4 pass2).
+    G > 1 requires all-VMEM tables (the drivers fall back per member
+    when the value table must live in HBM).
     """
     t_hbm, a_hbm, b_hbm = hbm
+    CL = C * G
+
+    def _memb_copy(gat, src, e, idx):
+        """gather rows of a member-ized source: G rows per event."""
+        if G == 1:
+            gat[pl.ds(e, 1), :] = src[pl.ds(idx, 1), :]
+        else:
+            gat[pl.ds(_mo8(e * G, G), G), :] = \
+                src[pl.ds(_mo8(idx * G, G), G), :]
+
+    def _shared_copy(gat, src, e, idx):
+        """gather one shared row, replicated across the member lanes."""
+        for g in range(G):
+            gat[pl.ds(e * G + g, 1), :] = src[pl.ds(idx, 1), :]
 
     @pl.when(cnt > 0)
     def _run():
+        _tab_copy = _memb_copy if tab_g else _shared_copy
+
         def gissue(e, _):
             t = ev_ref[0, e, 0]
             m_ = ev_ref[0, e, 1]
             d_ = ev_ref[0, e, 2]
-            gat_m[pl.ds(e, 1), :] = SMT_ref[pl.ds(m_, 1), :]
-            gat_g[pl.ds(e, 1), :] = GT_ref[pl.ds(d_, 1), :]
-            gat_z[pl.ds(e, 1), :] = TZ_ref[pl.ds(d_, 1), :]
-            gat_dm[pl.ds(e, 1), :] = SMT_ref[pl.ds(d_, 1), :]
+            _tab_copy(gat_m, SMT_ref, e, m_)
+            _tab_copy(gat_g, GT_ref, e, d_)
+            _tab_copy(gat_z, TZ_ref, e, d_)
+            _tab_copy(gat_dm, SMT_ref, e, d_)
             if t_hbm:
                 _gather_row(tgt_ref, t, gat_t, e, KR, sem)
             else:
-                gat_t[pl.ds(e, 1), :] = tgt_ref[pl.ds(t, 1), :]
+                _memb_copy(gat_t, tgt_ref, e, t)
             if has_ab:
                 a_ = ev_ref[0, e, 3]
                 b_ = ev_ref[0, e, 4]
                 if a_hbm:
                     _gather_row(a_ref, a_, gat_a, e, KR, sem)
+                elif a_g:
+                    _memb_copy(gat_a, a_ref, e, a_)
                 else:
-                    gat_a[pl.ds(e, 1), :] = a_ref[pl.ds(a_, 1), :]
+                    _shared_copy(gat_a, a_ref, e, a_)
                 if b_hbm:
                     _gather_row(b_src_ref, b_, gat_b, e, KR, sem)
                 else:
-                    gat_b[pl.ds(e, 1), :] = b_src_ref[pl.ds(b_, 1), :]
+                    _memb_copy(gat_b, b_src_ref, e, b_)
             return 0
 
         lax.fori_loop(0, cnt, gissue, 0)
@@ -238,9 +306,9 @@ def _pass_body(C, Wt, Wo, W8, WN, WQ, WV, E_dummy,
 
             lax.fori_loop(0, cnt, gwait, 0)
 
-        tT = _planes_T(gat_t, C, t_hbm)[:Wt]           # [Wt, C]
-        iT[:] = gat_g[:C, :].T[:WQ]                    # [WQ, C]
-        tz = gat_z[:C, :].T[0:1]                       # [1, C]
+        tT = _planes_T(gat_t, CL, t_hbm)[:Wt]          # [Wt, CL]
+        iT[:] = gat_g[:CL, :].T[:WQ]                   # [WQ, CL]
+        tz = gat_z[:CL, :].T[0:1]                      # [1, CL]
 
         # P side: target * rho_mult (skipped whole when mult == 0)
         @pl.when(m0)
@@ -250,7 +318,7 @@ def _pass_body(C, Wt, Wo, W8, WN, WQ, WV, E_dummy,
 
         @pl.when(~m0)
         def _pm1():
-            mT[:] = gat_m[:C, :].T                     # [W8, C]
+            mT[:] = gat_m[:CL, :].T                    # [W8, CL]
             p1u = pk.mul_mod(tT, mT, 0, W8, acc0, acc1, WN)
             pos1, neg1 = _signed_terms(p1u, tT, mT[:], WN)
             pA[:] = pk.carry_normalize(p1u + pos1, 2 * MASK16)
@@ -258,8 +326,8 @@ def _pass_body(C, Wt, Wo, W8, WN, WQ, WV, E_dummy,
 
         if has_ab:
             # N side: A * B (unsigned conv + sign corrections)
-            aT = _planes_T(gat_a, C, a_hbm)[:W8]       # [W8, C]
-            bT[:] = _planes_T(gat_b, C, b_hbm)[:bT.shape[0]]
+            aT = _planes_T(gat_a, CL, a_hbm)[:W8]      # [W8, CL]
+            bT[:] = _planes_T(gat_b, CL, b_hbm)[:bT.shape[0]]
             Wb = bT.shape[0]
             p2u = pk.mul_mod(aT, bT, 0, Wb, acc0, acc1, WN)
             pos2, neg2 = _signed_terms(p2u, aT, bT[:], WN)
@@ -284,7 +352,7 @@ def _pass_body(C, Wt, Wo, W8, WN, WQ, WV, E_dummy,
         def _qd1():
             shifted = pk.shr_bits(num, tz, W8)
             qp = pk.mul_mod(shifted[:WQ], iT, 0, WQ, acc0, acc1, WQ)
-            mT[:] = gat_dm[:C, :].T[:W8]               # rho_div, [W8, C]
+            mT[:] = gat_dm[:CL, :].T[:W8]              # rho_div [W8, CL]
             vu = pk.mul_mod(qp, mT, 0, W8, acc0, acc1, WV)
             posv, negv = _signed_terms(vu, qp, mT[:], WV)
             v = pk.sub_mod(pk.carry_normalize(vu + posv, 2 * MASK16),
@@ -296,26 +364,30 @@ def _pass_body(C, Wt, Wo, W8, WN, WQ, WV, E_dummy,
             qb[:] = pk._cat([q_ext[:-1], top])
 
         q = qb[:]
-        lane = lax.broadcasted_iota(jnp.int32, (1, C), 1)
-        ovf = (~pk.fits_in(q, Wo)) & (lane < cnt)
-        anyovf = jnp.max(ovf.astype(jnp.int32))
-        flag_ref[1] = flag_ref[1] | anyovf
-        flag_ref[flag_slot] = flag_ref[flag_slot] | anyovf
+        lane = lax.broadcasted_iota(jnp.int32, (1, CL), 1)
+        ovf = ((~pk.fits_in(q, Wo)) & (lane < cnt * G)).astype(jnp.int32)
+        memb = _fold_members(ovf, CL, G)
+        _facc_or(facc, 1, memb)
+        _facc_or(facc, flag_slot, memb)
 
         if t_hbm:
             full = pk._cat([q[:Wo],
-                            jnp.zeros((128 * KR - Wo, C), jnp.int32)])
+                            jnp.zeros((128 * KR - Wo, CL), jnp.int32)])
             for k2 in range(KR):
-                scat[k2, 0:C, :] = full[128 * k2:128 * (k2 + 1), :].T
+                scat[k2, 0:CL, :] = full[128 * k2:128 * (k2 + 1), :].T
         else:
-            scat[0:C, :] = q[:Wo].T                    # [C, Wo]
+            scat[0:CL, :] = q[:Wo].T                   # [CL, Wo]
 
         def sissue(e, _):
             t = ev_ref[0, e, 0]
             if t_hbm:
                 _scatter_row(scat, e, tgt_ref, t, KR, sem)
             else:
-                tgt_ref[pl.ds(t, 1), :] = scat[pl.ds(e, 1), :]
+                if G == 1:
+                    tgt_ref[pl.ds(t, 1), :] = scat[pl.ds(e, 1), :]
+                else:
+                    tgt_ref[pl.ds(_mo8(t * G, G), G), :] = \
+                        scat[pl.ds(_mo8(e * G, G), G), :]
             return 0
 
         lax.fori_loop(0, cnt, sissue, 0)
@@ -331,7 +403,7 @@ def _pass_body(C, Wt, Wo, W8, WN, WQ, WV, E_dummy,
 
 def _factor_kernel(h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
                    *rest, n, E, W8, WN, WQ, WV, WI8, H, C1, C2, hbm, KR,
-                   first):
+                   first, G=1):
     # later segments receive the previous tables as ANY-memory inputs
     # (a VMEM block spec here would DOUBLE the table footprint — the
     # in-window and out-window both count against scoped VMEM, which
@@ -347,14 +419,19 @@ def _factor_kernel(h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
     (gat_t, gat_m, gat_a, gat_b, gat_g, gat_z, gat_dm, scat,
      mT1, bT1, iT1, acc0a, acc1a, pA1, pB1, qb1,
      mT2, bT2, iT2, acc0b, acc1b, pA2, pB2, qb2,
-     hm, hi, hr, hacc0, hacc1, ld, lx, lu, ltz, flag_ref) = scratch[:34]
-    extra = scratch[34:]
+     hm, hi, hr, hacc0, hacc1, lacc0, lacc1,
+     ld, lx, lu, ltz, facc) = scratch[:36]
+    extra = scratch[36:]
     if hbm:
         hrows, sem = extra
     else:
         hrows = None
         sem = extra[0] if extra else None
     i = pl.program_id(0)
+    # member-lane batching (G > 1): logical row r of every table is
+    # stored as G member rows r*G + g; heads/lift lanes carry members
+    GH = 8 if G == 1 else G         # head compute lanes
+    GL = 1 if G == 1 else G         # lift lanes per head
 
     @pl.when(i == 0)
     def _init():
@@ -365,14 +442,14 @@ def _factor_kernel(h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
         else:
             val[:] = val_in[:]
         if first:
-            # row 0 of both tables = the identity (rho_{-1} = 1)
-            SMT[0:1, :] = jnp.concatenate(
-                [jnp.ones((1, 1), jnp.int32),
-                 jnp.zeros((1, W8 - 1), jnp.int32)], axis=1)
-            GT[0:1, :] = jnp.concatenate(
-                [jnp.ones((1, 1), jnp.int32),
-                 jnp.zeros((1, WI8 - 1), jnp.int32)], axis=1)
-            TZ[0:1, :] = jnp.zeros((1, 8), jnp.int32)
+            # rows 0..G-1 of both tables = the identity (rho_{-1} = 1)
+            SMT[0:G, :] = jnp.concatenate(
+                [jnp.ones((G, 1), jnp.int32),
+                 jnp.zeros((G, W8 - 1), jnp.int32)], axis=1)
+            GT[0:G, :] = jnp.concatenate(
+                [jnp.ones((G, 1), jnp.int32),
+                 jnp.zeros((G, WI8 - 1), jnp.int32)], axis=1)
+            TZ[0:G, :] = jnp.zeros((G, 8), jnp.int32)
         else:
             # later width segment: continue from the widened tables
             # (sign-extended SMT, re-lifted GT — see tpu/relift.py)
@@ -380,8 +457,7 @@ def _factor_kernel(h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
                 cp = pltpu.make_async_copy(src, dst, sem)
                 cp.start()
                 cp.wait()
-        for fi in range(8):
-            flag_ref[fi] = 0
+        facc[:] = jnp.zeros_like(facc)
 
     any_heads = cnts[0, 0, 0] > 0
 
@@ -415,9 +491,12 @@ def _factor_kernel(h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
             if hbm:
                 drow = jnp.concatenate(
                     [hrows[k2, t:t + 1, :] for k2 in range(KR)], axis=1)
+                dcol = _col_of_row(drow, W8)                    # [W8, 8]
+            elif G == 1:
+                dcol = _col_of_row(val[pl.ds(slot, 1), :], W8)
             else:
-                drow = val[pl.ds(slot, 1), :]
-            dcol = _col_of_row(drow, W8)                        # [W8, 8]
+                dcol = val[pl.ds(_mo8(slot * G, G), G),
+                           :].T[:W8]                            # [W8, G]
             hr[:] = pk.sign_extend(dcol, WQ)
 
             # history fix of the diagonal — skipped when its last update
@@ -427,9 +506,17 @@ def _factor_kernel(h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
             # batched passes (see _pass_body docstring).
             @pl.when(dv != k)
             def _fix():
-                hm[:] = _col_of_row(SMT[pl.ds(k, 1), :], W8)
-                hi[:] = _col_of_row(GT[pl.ds(dv, 1), :], WQ)
-                tzv = TZ[pl.ds(dv, 1), :]                       # [1, 8]
+                if G == 1:
+                    hm[:] = _col_of_row(SMT[pl.ds(k, 1), :], W8)
+                    hi[:] = _col_of_row(GT[pl.ds(dv, 1), :], WQ)
+                    tzv = TZ[pl.ds(dv, 1), :]                   # [1, 8]
+                else:
+                    hm[:] = SMT[pl.ds(_mo8(k * G, G), G),
+                                :].T[:W8]
+                    hi[:] = GT[pl.ds(_mo8(dv * G, G), G),
+                               :].T[:WQ]
+                    tzv = TZ[pl.ds(_mo8(dv * G, G), G),
+                             0:1].T                             # [1, G]
                 p1u = pk.mul_mod(dcol, hm, 0, W8, hacc0, hacc1, WN)
                 pos1, neg1 = _signed_terms(p1u, dcol, hm[:], WN)
                 P = pk.carry_normalize(p1u + pos1, 2 * MASK16)
@@ -437,27 +524,34 @@ def _factor_kernel(h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
                 shifted = pk.shr_bits(num, tzv, W8)
                 qp = pk.mul_mod(shifted[:WQ], hi, 0, WQ, hacc0, hacc1,
                                 WQ)
-                hm[:] = _col_of_row(SMT[pl.ds(dv, 1), :], W8)
+                if G == 1:
+                    hm[:] = _col_of_row(SMT[pl.ds(dv, 1), :], W8)
+                else:
+                    hm[:] = SMT[pl.ds(_mo8(dv * G, G), G),
+                                :].T[:W8]
                 vu = pk.mul_mod(qp, hm, 0, W8, hacc0, hacc1, WV)
                 posv, negv = _signed_terms(vu, qp, hm[:], WV)
                 v = pk.sub_mod(
                     pk.carry_normalize(vu + posv, 2 * MASK16),
                     pk.carry_normalize(negv, 2 * MASK16))
                 bad = (~jnp.all(v == pk.sign_extend(num, WV), axis=0,
-                                keepdims=True)).astype(jnp.int32)[0, 0]
-                flag_ref[1] = flag_ref[1] | bad
-                flag_ref[2] = flag_ref[2] | bad
+                                keepdims=True)).astype(jnp.int32)
+                _facc_or(facc, 1, bad[:, :GL])
+                _facc_or(facc, 2, bad[:, :GL])
                 hr[:] = qp
 
             rho = hr[:]
-            zer = pk.is_zero(rho)                               # [1, 8]
-            flag_ref[0] = flag_ref[0] | zer.astype(jnp.int32)[0, 0]
-            hovf = (~pk.fits_in(rho, W8)).astype(jnp.int32)[0, 0]
-            flag_ref[1] = flag_ref[1] | hovf
-            flag_ref[2] = flag_ref[2] | hovf
-            rho_w = jnp.where(zer, _one_residue(W8, 8), rho[:W8])
-            row = rho_w.T                                       # [8, W8]
-            SMT[pl.ds(k + 1, 1), :] = row[0:1, :]
+            zer = pk.is_zero(rho)                               # [1, GH]
+            _facc_or(facc, 0, zer.astype(jnp.int32)[:, :GL])
+            hovf = (~pk.fits_in(rho, W8)).astype(jnp.int32)
+            _facc_or(facc, 1, hovf[:, :GL])
+            _facc_or(facc, 2, hovf[:, :GL])
+            rho_w = jnp.where(zer, _one_residue(W8, GH), rho[:W8])
+            row = rho_w.T                                       # [GH, W8]
+            if G == 1:
+                SMT[pl.ds(k + 1, 1), :] = row[0:1, :]
+            else:
+                SMT[pl.ds(_mo8((k + 1) * G, G), G), :] = row
             if hbm:
                 rw = pk._cat([rho_w, jnp.zeros((128 * KR - W8, 8),
                                                jnp.int32)]).T  # [8, WH]
@@ -465,16 +559,21 @@ def _factor_kernel(h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
                     hrows[k2, t:t + 1, :] = rw[0:1,
                                                128 * k2:128 * (k2 + 1)]
                 _scatter_row(hrows, t, val, slot, KR, sem)
-            else:
+            elif G == 1:
                 val[pl.ds(slot, 1), :] = row[0:1, :]
-            # stage for the batched Hensel lift (lane t of the lift
-            # scratch): odd part + trailing zero count
-            tzr = pk.trailing_zero_bits(rho_w)                  # [1, 8]
+            else:
+                val[pl.ds(_mo8(slot * G, G), G), :] = row
+            # stage for the batched Hensel lift (lanes t*GL..(t+1)*GL of
+            # the lift scratch): odd part + trailing zero count
+            tzr = pk.trailing_zero_bits(rho_w)                  # [1, GH]
             odd = pk.shr_bits(pk.sign_extend(rho_w, WI8), tzr, W8)
-            lane = (lax.broadcasted_iota(jnp.int32, (1, 8), 1)
-                    == t).astype(jnp.int32)
-            ld[:] = jnp.where(lane != 0, odd[:, 0:1], ld[:])
-            ltz[:] = jnp.where(lane != 0, tzr[:, 0:1], ltz[:])
+            LL = ld.shape[1]
+            lane = lax.broadcasted_iota(jnp.int32, (1, LL), 1)
+            sel = (lane >= t * GL) & (lane < (t + 1) * GL)
+            odd_t = jnp.concatenate([odd[:, :GL]] * (LL // GL), axis=1)
+            tzr_t = jnp.concatenate([tzr[:, :GL]] * (LL // GL), axis=1)
+            ld[:] = jnp.where(sel, odd_t, ld[:])
+            ltz[:] = jnp.where(sel, tzr_t, ltz[:])
 
     if hbm:
         # pivot writes must land before the passes gather them
@@ -487,30 +586,40 @@ def _factor_kernel(h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
     # ---------------- phase A2: batched Hensel lift -------------------
     @pl.when(any_heads)
     def _lift():
+        LL = ld.shape[1]
         x = pk.inv16(ld[0:1, :])
         w = 1
         while w < WI8:
             w2 = min(2 * w, WI8)
-            lx[:] = pk._cat([x, jnp.zeros((WI8 - x.shape[0], 8),
+            lx[:] = pk._cat([x, jnp.zeros((WI8 - x.shape[0], LL),
                                           jnp.int32)])
-            tprod = pk.mul_mod(ld[:w2, :], lx, 0, w, hacc0, hacc1, w2)
+            tprod = pk.mul_mod(ld[:w2, :], lx, 0, w, lacc0, lacc1, w2)
             u = pk.two_minus_mod(tprod)
-            lu[:] = pk._cat([u, jnp.zeros((WI8 - w2, 8), jnp.int32)])
+            lu[:] = pk._cat([u, jnp.zeros((WI8 - w2, LL), jnp.int32)])
             x = pk.mul_mod(
-                pk._cat([x, jnp.zeros((w2 - x.shape[0], 8), jnp.int32)]),
-                lu, 0, w2, hacc0, hacc1, w2)
+                pk._cat([x, jnp.zeros((w2 - x.shape[0], LL),
+                                      jnp.int32)]),
+                lu, 0, w2, lacc0, lacc1, w2)
             w = w2
         invT = pk._cat(
-            [x, jnp.zeros((WI8 - x.shape[0], 8), jnp.int32)]).T  # [8, WI8]
-        tzT = ltz[:].T                                           # [H, 1]
+            [x, jnp.zeros((WI8 - x.shape[0], LL),
+                          jnp.int32)]).T                # [LL, WI8]
+        tzT = ltz[:].T                                  # [LL, 1]
         for t in range(H):
             k = h_step[0, 0, t]
 
             @pl.when(k >= 0)
             def _write_gt():
-                GT[pl.ds(k + 1, 1), :] = invT[t:t + 1, :]
-                TZ[pl.ds(k + 1, 1), :] = jnp.broadcast_to(
-                    tzT[t:t + 1, :], (1, 8))
+                if G == 1:
+                    GT[pl.ds(k + 1, 1), :] = invT[t:t + 1, :]
+                    TZ[pl.ds(k + 1, 1), :] = jnp.broadcast_to(
+                        tzT[t:t + 1, :], (1, 8))
+                else:
+                    GT[pl.ds(_mo8((k + 1) * G, G), G), :] = \
+                        invT[t * G:(t + 1) * G, :]
+                    TZ[pl.ds(_mo8((k + 1) * G, G), G), :] = \
+                        jnp.broadcast_to(tzT[t * G:(t + 1) * G, :],
+                                         (G, 8))
 
     # ---------------- phases B and C: the two batched passes ----------
     vh = (hbm, hbm, hbm)
@@ -519,29 +628,25 @@ def _factor_kernel(h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
                val, SMT, GT, TZ, gat_t, gat_m, gat_a, gat_b, gat_g,
                gat_z, gat_dm, scat,
                (mT1, bT1, iT1, acc0a, acc1a, pA1, pB1, qb1),
-               flag_ref, val, flag_slot=3, hbm=vh, sem=sem, KR=KR,
-               has_ab=False, m0=(fl & 1) != 0, d0=(fl & 4) != 0)
+               facc, val, flag_slot=3, hbm=vh, sem=sem, KR=KR,
+               has_ab=False, m0=(fl & 1) != 0, d0=(fl & 4) != 0, G=G)
     _pass_body(C2, W8, W8, W8, WN, WQ, WV, E, cnts[0, 0, 2], ev2, val,
                val, SMT, GT, TZ, gat_t, gat_m, gat_a, gat_b, gat_g,
                gat_z, gat_dm, scat,
                (mT2, bT2, iT2, acc0b, acc1b, pA2, pB2, qb2),
-               flag_ref, val, flag_slot=4, hbm=vh, sem=sem, KR=KR,
-               has_ab=True, m0=(fl & 2) != 0, d0=(fl & 8) != 0)
+               facc, val, flag_slot=4, hbm=vh, sem=sem, KR=KR,
+               has_ab=True, m0=(fl & 2) != 0, d0=(fl & 8) != 0, G=G)
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _fin():
-        lanes = lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-        out = jnp.zeros((8, 128), jnp.int32)
-        for fi in range(8):
-            out = jnp.where(lanes == fi, flag_ref[fi], out)
-        flags[:] = out
+        flags[:] = facc[:]
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n", "E", "W8", "WN", "WI8", "H", "C1", "C2", "hbm"))
+    "n", "E", "W8", "WN", "WI8", "H", "C1", "C2", "hbm", "G"))
 def factor_fused(n, E, W8, WN, WI8, H, C1, C2,
                  h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
-                 hbm=False, tables=None):
+                 hbm=False, tables=None, G=1):
     """Run a factor-stream (segment of) chunks.
     Returns (val, SMT, GT, TZ, flags).
 
@@ -550,58 +655,75 @@ def factor_fused(n, E, W8, WN, WI8, H, C1, C2,
     given, is (SMT, GT, TZ) from an earlier (narrower) width segment,
     already widened/re-lifted to this segment's shapes (tpu/relift.py);
     None means this is the first segment and the kernel initializes the
-    identity rows itself."""
+    identity rows itself.
+
+    G > 1 = member-lane batching (VMEM-only): every logical table row r
+    is stored as G member rows r*G + g and the G systems execute the
+    chunk stream together on the vector lanes (_pass_body docstring).
+    Flags come back per member: flags[cat, g]."""
     nc = h_step.shape[0]
+    # on hardware, member-ized row slices demand 8-aligned offsets
+    # (G % 8 == 0); the interpreter has no alignment rules, so CPU
+    # tests run unpadded member counts (lane_group() in the drivers)
+    assert G == 1 or ((G % 8 == 0 or _interpret()) and not hbm
+                      and H * G <= 128
+                      and C1 * G <= 1024 and C2 * G <= 1024)
+    assert C1 & (C1 - 1) == 0 and C2 & (C2 - 1) == 0
     E8 = _r8(E + 1)
-    n8 = _r8(n + 2)
+    n8 = _r8(n + 2) if G == 1 else (n + 2) * G
     KR = val_in.shape[0] // E8 if hbm else 1
     first = tables is None
     WQ = min(WI8, _r8(W8 + 2))      # short-division quotient modulus
     WV = _r8(WQ + W8)               # verification modulus (>= WQ + W8)
     ACC = max(WN, 2 * WQ + 2, WV) + 24
     HACC = max(2 * WI8, WN, WV) + 24
+    GH = 8 if G == 1 else G         # head lanes
+    LL = max(H, 8) if G == 1 else H * G   # lift lanes
+    C1G, C2G = C1 * G, C2 * G
     kern = functools.partial(
         _factor_kernel, n=n, E=E, W8=W8, WN=WN, WQ=WQ, WV=WV, WI8=WI8,
-        H=H, C1=C1, C2=C2, hbm=hbm, KR=KR, first=first)
+        H=H, C1=C1, C2=C2, hbm=hbm, KR=KR, first=first, G=G)
     val_space = (pl.BlockSpec(memory_space=pl.ANY) if hbm else
-                 pl.BlockSpec((E8, W8), lambda i: (0, 0),
+                 pl.BlockSpec((val_in.shape[0], W8), lambda i: (0, 0),
                               memory_space=pltpu.VMEM))
-    gshape = ((KR, C2, 128) if hbm else (C2, W8))
+    gshape = ((KR, C2, 128) if hbm else (C2G, W8))
     scratch = [
         pltpu.VMEM(gshape, jnp.int32),        # gat_t
-        pltpu.VMEM((C2, W8), jnp.int32),      # gat_m
+        pltpu.VMEM((C2G, W8), jnp.int32),     # gat_m
         pltpu.VMEM(gshape, jnp.int32),        # gat_a
         pltpu.VMEM(gshape, jnp.int32),        # gat_b
-        pltpu.VMEM((C2, WI8), jnp.int32),     # gat_g
-        pltpu.VMEM((C2, 8), jnp.int32),       # gat_z
-        pltpu.VMEM((C2, W8), jnp.int32),      # gat_dm
+        pltpu.VMEM((C2G, WI8), jnp.int32),    # gat_g
+        pltpu.VMEM((C2G, 8), jnp.int32),      # gat_z
+        pltpu.VMEM((C2G, W8), jnp.int32),     # gat_dm
         pltpu.VMEM(gshape, jnp.int32),        # scat
-        pltpu.VMEM((W8, C1), jnp.int32),      # mT1
-        pltpu.VMEM((W8, C1), jnp.int32),      # bT1
-        pltpu.VMEM((WQ, C1), jnp.int32),      # iT1
-        pltpu.VMEM((ACC, C1), jnp.int32),     # acc0a
-        pltpu.VMEM((ACC, C1), jnp.int32),     # acc1a
-        pltpu.VMEM((WN, C1), jnp.int32),      # pA1
-        pltpu.VMEM((WN, C1), jnp.int32),      # pB1
-        pltpu.VMEM((WN, C1), jnp.int32),      # qb1
-        pltpu.VMEM((W8, C2), jnp.int32),      # mT2
-        pltpu.VMEM((W8, C2), jnp.int32),      # bT2
-        pltpu.VMEM((WQ, C2), jnp.int32),      # iT2
-        pltpu.VMEM((ACC, C2), jnp.int32),     # acc0b
-        pltpu.VMEM((ACC, C2), jnp.int32),     # acc1b
-        pltpu.VMEM((WN, C2), jnp.int32),      # pA2
-        pltpu.VMEM((WN, C2), jnp.int32),      # pB2
-        pltpu.VMEM((WN, C2), jnp.int32),      # qb2
-        pltpu.VMEM((W8, 8), jnp.int32),       # hm
-        pltpu.VMEM((WQ, 8), jnp.int32),       # hi
-        pltpu.VMEM((WQ, 8), jnp.int32),       # hr
-        pltpu.VMEM((HACC, 8), jnp.int32),     # hacc0
-        pltpu.VMEM((HACC, 8), jnp.int32),     # hacc1
-        pltpu.VMEM((WI8, 8), jnp.int32),      # ld
-        pltpu.VMEM((WI8, 8), jnp.int32),      # lx
-        pltpu.VMEM((WI8, 8), jnp.int32),      # lu
-        pltpu.VMEM((1, 8), jnp.int32),        # ltz
-        pltpu.SMEM((8,), jnp.int32),          # flag_ref
+        pltpu.VMEM((W8, C1G), jnp.int32),     # mT1
+        pltpu.VMEM((W8, C1G), jnp.int32),     # bT1
+        pltpu.VMEM((WQ, C1G), jnp.int32),     # iT1
+        pltpu.VMEM((ACC, C1G), jnp.int32),    # acc0a
+        pltpu.VMEM((ACC, C1G), jnp.int32),    # acc1a
+        pltpu.VMEM((WN, C1G), jnp.int32),     # pA1
+        pltpu.VMEM((WN, C1G), jnp.int32),     # pB1
+        pltpu.VMEM((WN, C1G), jnp.int32),     # qb1
+        pltpu.VMEM((W8, C2G), jnp.int32),     # mT2
+        pltpu.VMEM((W8, C2G), jnp.int32),     # bT2
+        pltpu.VMEM((WQ, C2G), jnp.int32),     # iT2
+        pltpu.VMEM((ACC, C2G), jnp.int32),    # acc0b
+        pltpu.VMEM((ACC, C2G), jnp.int32),    # acc1b
+        pltpu.VMEM((WN, C2G), jnp.int32),     # pA2
+        pltpu.VMEM((WN, C2G), jnp.int32),     # pB2
+        pltpu.VMEM((WN, C2G), jnp.int32),     # qb2
+        pltpu.VMEM((W8, GH), jnp.int32),      # hm
+        pltpu.VMEM((WQ, GH), jnp.int32),      # hi
+        pltpu.VMEM((WQ, GH), jnp.int32),      # hr
+        pltpu.VMEM((HACC, GH), jnp.int32),    # hacc0
+        pltpu.VMEM((HACC, GH), jnp.int32),    # hacc1
+        pltpu.VMEM((HACC, LL), jnp.int32),    # lacc0
+        pltpu.VMEM((HACC, LL), jnp.int32),    # lacc1
+        pltpu.VMEM((WI8, LL), jnp.int32),     # ld
+        pltpu.VMEM((WI8, LL), jnp.int32),     # lx
+        pltpu.VMEM((WI8, LL), jnp.int32),     # lu
+        pltpu.VMEM((1, LL), jnp.int32),       # ltz
+        pltpu.VMEM((8, 128), jnp.int32),      # facc (per-member flags)
     ]
     if hbm:
         scratch += [
@@ -668,17 +790,16 @@ def _solve_kernel(cnts, ev1, ev2, val, SMT, GT, TZ, X_in,
                   X, flags,
                   gat_t, gat_m, gat_a, gat_b, gat_g, gat_z, gat_dm, scat,
                   mT1, bT1, iT1, acc0a, acc1a, pA1, pB1, qb1,
-                  mT2, bT2, iT2, acc0b, acc1b, pA2, pB2, qb2, flag_ref,
+                  mT2, bT2, iT2, acc0b, acc1b, pA2, pB2, qb2, facc,
                   *extra, n, E, W8, Ws8, WNS, WQ, WV, WI8, C1, C2, hbm,
-                  KR):
+                  KR, G=1, a_g=True, tab_g=True):
     sem = extra[0] if hbm else None
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _init():
         X[:] = X_in[:]
-        for fi in range(8):
-            flag_ref[fi] = 0
+        facc[:] = jnp.zeros_like(facc)
 
     vh = (False, hbm, False)
     fl = cnts[0, 0, 3]
@@ -686,70 +807,79 @@ def _solve_kernel(cnts, ev1, ev2, val, SMT, GT, TZ, X_in,
                val, SMT, GT, TZ, gat_t, gat_m, gat_a, gat_b, gat_g,
                gat_z, gat_dm, scat,
                (mT1, bT1, iT1, acc0a, acc1a, pA1, pB1, qb1),
-               flag_ref, X, flag_slot=3, hbm=vh, sem=sem, KR=KR,
-               has_ab=False, m0=(fl & 1) != 0, d0=(fl & 4) != 0)
+               facc, X, flag_slot=3, hbm=vh, sem=sem, KR=KR,
+               has_ab=False, m0=(fl & 1) != 0, d0=(fl & 4) != 0,
+               G=G, a_g=a_g, tab_g=tab_g)
     _pass_body(C2, Ws8, Ws8, W8, WNS, WQ, WV, n, cnts[0, 0, 2], ev2, X,
                val, SMT, GT, TZ, gat_t, gat_m, gat_a, gat_b, gat_g,
                gat_z, gat_dm, scat,
                (mT2, bT2, iT2, acc0b, acc1b, pA2, pB2, qb2),
-               flag_ref, X, flag_slot=4, hbm=vh, sem=sem, KR=KR,
-               has_ab=True, m0=(fl & 2) != 0, d0=(fl & 8) != 0)
+               facc, X, flag_slot=4, hbm=vh, sem=sem, KR=KR,
+               has_ab=True, m0=(fl & 2) != 0, d0=(fl & 8) != 0,
+               G=G, a_g=a_g, tab_g=tab_g)
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _fin():
-        lanes = lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-        out = jnp.zeros((8, 128), jnp.int32)
-        for fi in range(8):
-            out = jnp.where(lanes == fi, flag_ref[fi], out)
-        flags[:] = out
+        flags[:] = facc[:]
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n", "E", "W8", "Ws8", "WNS", "WI8", "C1", "C2", "hbm"))
+    "n", "E", "W8", "Ws8", "WNS", "WI8", "C1", "C2", "hbm", "G", "a_g",
+    "tab_g"))
 def solve_fused(n, E, W8, Ws8, WNS, WI8, C1, C2,
-                cnts, ev1, ev2, val, SMT, GT, TZ, X_in, hbm=False):
-    """Run the solve stream (fwd + det + bwd). Returns (X, flags)."""
+                cnts, ev1, ev2, val, SMT, GT, TZ, X_in, hbm=False,
+                G=1, a_g=True, tab_g=True):
+    """Run the solve stream (fwd + det + bwd). Returns (X, flags).
+
+    G > 1 = member-lane batching of G solve streams (X member-ized,
+    rows j*G + g). a_g/tab_g say whether the value table / rho tables
+    are member-ized too (G pattern-sharing systems) or shared (one
+    factorization, G right-hand sides)."""
     nc = ev1.shape[0]
+    assert G == 1 or ((G % 8 == 0 or _interpret()) and not hbm
+                      and C1 * G <= 1024 and C2 * G <= 1024)
     n8 = SMT.shape[0]
-    X8 = _r8(n + 1)
+    X8 = X_in.shape[0]
     E8 = _r8(E + 1)
     KR = val.shape[0] // E8 if hbm else 1
     WQ = min(WI8, _r8(Ws8 + 2))     # short-division quotient modulus
     WV = _r8(WQ + W8)               # verification modulus (>= WQ + W8)
     ACC = max(WNS, 2 * WQ + 2, WV) + 24
+    C1G, C2G = C1 * G, C2 * G
     kern = functools.partial(
         _solve_kernel, n=n, E=E, W8=W8, Ws8=Ws8, WNS=WNS, WQ=WQ, WV=WV,
-        WI8=WI8, C1=C1, C2=C2, hbm=hbm, KR=KR)
+        WI8=WI8, C1=C1, C2=C2, hbm=hbm, KR=KR, G=G, a_g=a_g,
+        tab_g=tab_g)
     val_space = (pl.BlockSpec(memory_space=pl.ANY) if hbm else
                  pl.BlockSpec((val.shape[0], W8), lambda i: (0, 0),
                               memory_space=pltpu.VMEM))
     scratch = [
-        pltpu.VMEM((C2, Ws8), jnp.int32),     # gat_t
-        pltpu.VMEM((C2, W8), jnp.int32),      # gat_m
-        pltpu.VMEM((KR, C2, 128) if hbm else (C2, W8),
+        pltpu.VMEM((C2G, Ws8), jnp.int32),    # gat_t
+        pltpu.VMEM((C2G, W8), jnp.int32),     # gat_m
+        pltpu.VMEM((KR, C2, 128) if hbm else (C2G, W8),
                    jnp.int32),                # gat_a
-        pltpu.VMEM((C2, Ws8), jnp.int32),     # gat_b
-        pltpu.VMEM((C2, WI8), jnp.int32),     # gat_g
-        pltpu.VMEM((C2, 8), jnp.int32),       # gat_z
-        pltpu.VMEM((C2, W8), jnp.int32),      # gat_dm
-        pltpu.VMEM((C2, Ws8), jnp.int32),     # scat
-        pltpu.VMEM((W8, C1), jnp.int32),      # mT1
-        pltpu.VMEM((Ws8, C1), jnp.int32),     # bT1
-        pltpu.VMEM((WQ, C1), jnp.int32),      # iT1
-        pltpu.VMEM((ACC, C1), jnp.int32),     # acc0a
-        pltpu.VMEM((ACC, C1), jnp.int32),     # acc1a
-        pltpu.VMEM((WNS, C1), jnp.int32),     # pA1
-        pltpu.VMEM((WNS, C1), jnp.int32),     # pB1
-        pltpu.VMEM((WNS, C1), jnp.int32),     # qb1
-        pltpu.VMEM((W8, C2), jnp.int32),      # mT2
-        pltpu.VMEM((Ws8, C2), jnp.int32),     # bT2
-        pltpu.VMEM((WQ, C2), jnp.int32),      # iT2
-        pltpu.VMEM((ACC, C2), jnp.int32),     # acc0b
-        pltpu.VMEM((ACC, C2), jnp.int32),     # acc1b
-        pltpu.VMEM((WNS, C2), jnp.int32),     # pA2
-        pltpu.VMEM((WNS, C2), jnp.int32),     # pB2
-        pltpu.VMEM((WNS, C2), jnp.int32),     # qb2
-        pltpu.SMEM((8,), jnp.int32),          # flag_ref
+        pltpu.VMEM((C2G, Ws8), jnp.int32),    # gat_b
+        pltpu.VMEM((C2G, WI8), jnp.int32),    # gat_g
+        pltpu.VMEM((C2G, 8), jnp.int32),      # gat_z
+        pltpu.VMEM((C2G, W8), jnp.int32),     # gat_dm
+        pltpu.VMEM((C2G, Ws8), jnp.int32),    # scat
+        pltpu.VMEM((W8, C1G), jnp.int32),     # mT1
+        pltpu.VMEM((Ws8, C1G), jnp.int32),    # bT1
+        pltpu.VMEM((WQ, C1G), jnp.int32),     # iT1
+        pltpu.VMEM((ACC, C1G), jnp.int32),    # acc0a
+        pltpu.VMEM((ACC, C1G), jnp.int32),    # acc1a
+        pltpu.VMEM((WNS, C1G), jnp.int32),    # pA1
+        pltpu.VMEM((WNS, C1G), jnp.int32),    # pB1
+        pltpu.VMEM((WNS, C1G), jnp.int32),    # qb1
+        pltpu.VMEM((W8, C2G), jnp.int32),     # mT2
+        pltpu.VMEM((Ws8, C2G), jnp.int32),    # bT2
+        pltpu.VMEM((WQ, C2G), jnp.int32),     # iT2
+        pltpu.VMEM((ACC, C2G), jnp.int32),    # acc0b
+        pltpu.VMEM((ACC, C2G), jnp.int32),    # acc1b
+        pltpu.VMEM((WNS, C2G), jnp.int32),    # pA2
+        pltpu.VMEM((WNS, C2G), jnp.int32),    # pB2
+        pltpu.VMEM((WNS, C2G), jnp.int32),    # qb2
+        pltpu.VMEM((8, 128), jnp.int32),      # facc (per-member flags)
     ]
     if hbm:
         scratch.append(pltpu.SemaphoreType.DMA(()))  # sem (shared)
@@ -797,11 +927,11 @@ def solve_fused(n, E, W8, Ws8, WNS, WI8, C1, C2,
 
 @functools.partial(jax.jit, static_argnames=(
     "n", "E", "W8", "Ws8", "WN", "WNS", "WI8", "H", "C1", "C2", "hbm",
-    "segments", "ssegments"))
+    "segments", "ssegments", "G"))
 def fused_solve_all(n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2,
                     h_step, h_slot, h_div, fcnt, fev1, fev2,
                     scnt, sev1, sev2, val_in, b_rows, hbm=False,
-                    segments=None, ssegments=None):
+                    segments=None, ssegments=None, G=1):
     """ONE XLA program for the whole exact solve: factor stream, every
     RHS solve stream, and a single flat int32 result vector
 
@@ -829,6 +959,13 @@ def fused_solve_all(n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2,
     sign-extends — the shared GT inverse table needs NO re-lift because
     a Hensel inverse mod 2^(16*WI) truncates to a correct inverse mod
     any smaller power (the kernel reads GT rows [:WQ_s]).
+
+    G > 1 = member-lane batching of G pattern-sharing systems: val_in
+    is slot-interleaved ([(E8)*G rows], row slot*G + g), b_rows is
+    [G, nrhs, n, Wb], and the flat layout generalizes to per-member
+    vectors: [per factor segment: sing*G, ovf*G] [det: G*W8]
+    [per rhs: per solve segment: sing*G, ovf*G; X: n*G*Ws8 rows
+    interleaved (j*G + g)]. G == 1 keeps the exact legacy layout.
     """
     from .relift import relift_gt, widen_tc, widen_val
     if segments is None:
@@ -850,7 +987,7 @@ def fused_solve_all(n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2,
         # a relift launch costs more than it saves there.
         WQf = _r8(W8s + 2)
         WIs = max(WQf, WI8) if S == 1 else WQf
-        hbms = val_table_in_hbm(E8, W8s)
+        hbms = val_table_in_hbm(E8, W8s) if G == 1 else False
         tables = None
         if prev is not None:
             pW8, pWI, phbm = prev
@@ -861,13 +998,16 @@ def fused_solve_all(n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2,
         val_d, SMT_d, GT_d, TZ_d, fflags = factor_fused(
             n, E, W8s, WNs, WIs, H, C1, C2,
             h_step[lo:hi], h_slot[lo:hi], h_div[lo:hi], fcnt[lo:hi],
-            fev1[lo:hi], fev2[lo:hi], val_d, hbm=hbms, tables=tables)
-        fparts.append(fflags[0, :2])
+            fev1[lo:hi], fev2[lo:hi], val_d, hbm=hbms, tables=tables,
+            G=G)
+        fparts.append(fflags[:2, :G].reshape(-1))
         prev = (W8s, WIs, hbms)
     hbm = prev[2]
-    parts = fparts + [SMT_d[n, :]]
-    X8 = _r8(n + 1)
-    nrhs, _, Wb = b_rows.shape
+    parts = fparts + [SMT_d[n * G:(n + 1) * G, :W8].reshape(-1)]
+    X8G = _r8((n + 1) * G)
+    if G == 1:
+        b_rows = b_rows[None]
+    nrhs, _, Wb = b_rows.shape[1:]
     if ssegments is None:
         ssegments = ((0, scnt.shape[0], Ws8),)
     WQs = min(WI8, _r8(Ws8 + 2))    # solve-stream quotient modulus
@@ -875,15 +1015,32 @@ def fused_solve_all(n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2,
     if WIf < WQs:
         GT_d = relift_gt(SMT_d, GT_d, TZ_d, W8, WIf, WQs)
         WIf = WQs
-    for c in range(nrhs):
-        col = b_rows[c]
+    # RHS-LANE BATCHING: with a single system (G == 1), several right-
+    # hand sides ride the member lanes of ONE solve-stream run instead
+    # of nrhs sequential runs — the factored tables are SHARED across
+    # lanes (a_g=False, tab_g=False in _pass_body), only X is
+    # member-ized. nrhs pads to a multiple of 8 with copies of column
+    # 0; VMEM tables only (HBM a-gathers are per-lane DMAs — not worth
+    # it). Flat layout: per solve segment [sing*R8, ovf*R8], then
+    # X rows (j*R8 + c)*Ws8 ONCE (not per rhs).
+    rhs_lanes = (G == 1 and nrhs > 1 and not hbm)
+    if rhs_lanes:
+        R8 = lane_group(nrhs)
         Ws0 = ssegments[0][2]
+        col = b_rows[0]                                # [nrhs, n, Wb]
         if Wb < Ws0:
-            fill = jnp.where(col[:, Wb - 1:Wb] >= 0x8000, 0xFFFF, 0)
+            fill = jnp.where(col[:, :, Wb - 1:Wb] >= 0x8000, 0xFFFF, 0)
             col = jnp.concatenate(
-                [col, jnp.broadcast_to(fill, (col.shape[0], Ws0 - Wb))],
-                axis=1)
-        X_d = jnp.zeros((X8, Ws0), jnp.int32).at[:n].set(col[:, :Ws0])
+                [col, jnp.broadcast_to(fill, col.shape[:2]
+                                       + (Ws0 - Wb,))], axis=2)
+        col = col[:, :, :Ws0]
+        if R8 > nrhs:
+            col = jnp.concatenate(
+                [col, jnp.broadcast_to(col[0:1], (R8 - nrhs,) +
+                                       col.shape[1:])], axis=0)
+        xr = col.transpose(1, 0, 2).reshape(n * R8, Ws0)
+        X8R = _r8((n + 1) * R8)
+        X_d = jnp.zeros((X8R, Ws0), jnp.int32).at[:n * R8].set(xr)
         pWs = Ws0
         for (lo, hi, Ws_s) in ssegments:
             if Ws_s != pWs:
@@ -892,10 +1049,34 @@ def fused_solve_all(n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2,
             X_d, sflags = solve_fused(
                 n, E, W8, Ws_s, WNS_s, WIf, C1, C2,
                 scnt[lo:hi], sev1[lo:hi], sev2[lo:hi],
-                val_d, SMT_d, GT_d, TZ_d, X_d, hbm=hbm)
-            parts.append(sflags[0, :2])
+                val_d, SMT_d, GT_d, TZ_d, X_d, hbm=False,
+                G=R8, a_g=False, tab_g=False)
+            parts.append(sflags[:2, :R8].reshape(-1))
             pWs = Ws_s
-        parts.append(X_d[:n].reshape(-1))
+        parts.append(X_d[:n * R8].reshape(-1))
+        return jnp.concatenate(parts)
+    for c in range(nrhs):
+        col = b_rows[:, c]                             # [G, n, Wb]
+        Ws0 = ssegments[0][2]
+        if Wb < Ws0:
+            fill = jnp.where(col[:, :, Wb - 1:Wb] >= 0x8000, 0xFFFF, 0)
+            col = jnp.concatenate(
+                [col, jnp.broadcast_to(fill, col.shape[:2]
+                                       + (Ws0 - Wb,))], axis=2)
+        xr = col[:, :, :Ws0].transpose(1, 0, 2).reshape(n * G, Ws0)
+        X_d = jnp.zeros((X8G, Ws0), jnp.int32).at[:n * G].set(xr)
+        pWs = Ws0
+        for (lo, hi, Ws_s) in ssegments:
+            if Ws_s != pWs:
+                X_d = widen_tc(X_d, pWs, Ws_s)
+            WNS_s = _r8(W8 + Ws_s + 2)
+            X_d, sflags = solve_fused(
+                n, E, W8, Ws_s, WNS_s, WIf, C1, C2,
+                scnt[lo:hi], sev1[lo:hi], sev2[lo:hi],
+                val_d, SMT_d, GT_d, TZ_d, X_d, hbm=hbm, G=G)
+            parts.append(sflags[:2, :G].reshape(-1))
+            pWs = Ws_s
+        parts.append(X_d[:n * G].reshape(-1))
     return jnp.concatenate(parts)
 
 
@@ -907,22 +1088,23 @@ def fused_solve_many(n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2, G,
                      scnt, sev1, sev2, val_stack, b_stack, hbm=False,
                      segments=None):
     """G pattern-sharing systems in ONE XLA program (SURVEY §2.10 data-
-    parallel axis): the schedule/streams are shared, each member brings
-    its own value table (val_stack[g]) and RHS block (b_stack[g]), and
-    the G per-member flat vectors (fused_solve_all layout) concatenate
-    into one fetch. One dispatch instead of G — on the tunnel the fixed
-    ~45 ms/sync is the whole cost of small solves, so batching G=8 is
-    ~G x faster than sequential calls (ROADMAP batch-layout item; the
-    vmap-of-scatter lowering that sank the padded path's batching never
-    appears because members run as straight-line slices)."""
-    outs = []
-    for g in range(G):
-        outs.append(fused_solve_all(
-            n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2,
-            h_step, h_slot, h_div, fcnt, fev1, fev2,
-            scnt, sev1, sev2, val_stack[g], b_stack[g], hbm=hbm,
-            segments=segments))
-    return jnp.concatenate(outs)
+    parallel axis), MEMBER-LANE batched: the schedule/streams are
+    shared, each member brings its own value table (val_stack[g]) and
+    RHS block (b_stack[g]), and all G systems execute every chunk
+    TOGETHER on the vector lanes (lane e*G + g = event e of member g —
+    see _pass_body). Narrow-lane arithmetic pads to 128 lanes anyway,
+    so for thin streams the extra members are nearly free: one
+    dispatch, one fetch, one set of chunk fixed costs for all G.
+    Requires G % 8 == 0 (lane-slice alignment) and all-VMEM tables;
+    the driver pads the member count and falls back per member
+    otherwise. Returns the G-aware fused_solve_all flat layout."""
+    val_il = val_stack.transpose(1, 0, 2).reshape(
+        val_stack.shape[1] * G, val_stack.shape[2])
+    return fused_solve_all(
+        n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2,
+        h_step, h_slot, h_div, fcnt, fev1, fev2,
+        scnt, sev1, sev2, val_il, b_stack, hbm=False,
+        segments=segments, G=G)
 
 
 # ---------------------------------------------------------------------------

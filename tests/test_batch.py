@@ -161,3 +161,37 @@ def test_fused_batch_rejects_mismatched_patterns():
         factorize_solve_tpu_fused_many([As[0], Bs[0]],
                                        analyze(As[0], Options()),
                                        bs, Options())
+
+
+def test_fused_batch_groups_and_padding(monkeypatch):
+    """A family larger than the lane-group budget splits into groups
+    (member-lane batching pads each group to a multiple of 8)."""
+    monkeypatch.setenv("SLIP_FUSED_GMAX", "8")
+    As, bs = _family(nb=10, n=6, seed=21)
+    opts = Options()
+    ana = analyze(As[0], opts)
+    xs = factorize_solve_tpu_fused_many(As, ana, bs, opts,
+                                        heads_per_chunk=2,
+                                        pass1_events=8, pass2_events=16)
+    for A, b, x in zip(As, bs, xs):
+        x_host = backslash(A, b, Type.MPQ, opts)
+        for i in range(A.n):
+            assert x.x[i, 0] == x_host.x[i, 0]
+
+
+def test_fused_batch_hbm_family_falls_back_sequential(monkeypatch):
+    """Member-lane batching is all-VMEM: a family whose G-member value
+    table would need HBM residency must fall back to per-member solves
+    (still exact)."""
+    from slip_lu_tpu.tpu import backslash_fused as bf
+    monkeypatch.setattr(bf, "val_table_in_hbm", lambda E8, W8: True)
+    As, bs = _family(nb=2, n=6, seed=31)
+    opts = Options()
+    ana = analyze(As[0], opts)
+    xs = factorize_solve_tpu_fused_many(As, ana, bs, opts,
+                                        heads_per_chunk=2,
+                                        pass1_events=8, pass2_events=16)
+    for A, b, x in zip(As, bs, xs):
+        x_host = backslash(A, b, Type.MPQ, opts)
+        for i in range(A.n):
+            assert x.x[i, 0] == x_host.x[i, 0]

@@ -51,35 +51,32 @@ def stream_macs(es, W8, Ws8, WN, WNS, WI8, segments=None,
     f_macs = 0
     fev = 0
     for si, (lo, hi, W8s) in enumerate(segments):
-        WNs = _r8(2 * W8s + 2)
-        # segmented runs lift at the factor modulus only (one batched
-        # GT relift to WNS afterwards — negligible); unsegmented keep
-        # the shared-width table
-        WIs = WNs if len(segments) > 1 \
-            else (max(WNs, WNS, WI8) if si == len(segments) - 1
-                  else WNs)
+        # verified short division (factor_fused): quotient product at
+        # WQ = _r8(W8s+2), verify product WQ x W8s; GT lifts at WQ
+        WQ = _r8(W8s + 2)
+        div = WQ * WQ + WQ * W8s
         ev = int(f.counts[lo:hi, 1].sum() + f.counts[lo:hi, 2].sum())
         heads = int(f.counts[lo:hi, 0].sum())
         hchunks = int((f.counts[lo:hi, 0] > 0).sum())
-        # per factor event: t*m (W8xW8) + a*b (W8xW8) + q (WNxWN);
+        # per factor event: t*m (W8xW8) + a*b (W8xW8) + short div;
         # pass 1 has no a*b (shortcut) — cost it at the a*b-free rate
         ev1 = int(f.counts[lo:hi, 1].sum())
-        f_macs += ev * (W8s * W8s + WNs * WNs) + (ev - ev1) * W8s * W8s
-        # per head: fix (W8xW8 + WNxWN); per head-chunk: batched lift
-        # over 8 lanes, doubling rungs sum ~ (8/3)*WI^2 per lane
-        f_macs += heads * (W8s * W8s + WNs * WNs)
-        f_macs += hchunks * 8 * (8 * WIs * WIs // 3)
+        f_macs += ev * (W8s * W8s + div) + (ev - ev1) * W8s * W8s
+        # per head: fix (W8xW8 + short div); per head-chunk: batched
+        # lift, doubling rungs sum ~ (8/3)*WQ^2 per lane
+        f_macs += heads * (W8s * W8s + div)
+        f_macs += hchunks * 8 * (8 * WQ * WQ // 3)
         fev += ev
     s_macs = 0
     sev = 0
     for (lo, hi, Ws_s) in (ssegments or ((0, s.nchunks, Ws8),)):
-        WNS_s = _r8(W8 + Ws_s + 2)
+        WQs = _r8(Ws_s + 2)
+        divs = WQs * WQs + WQs * W8
         ev = int(s.counts[lo:hi, 1].sum() + s.counts[lo:hi, 2].sum())
         ev1 = int(s.counts[lo:hi, 1].sum())
-        # per solve event: t*m (Ws8xW8) + a*b (W8xWs8) + q (WNSxWNS);
+        # per solve event: t*m (Ws8xW8) + a*b (W8xWs8) + short div;
         # pass 1 (fixes, det scale, pivot divisions) has no a*b
-        s_macs += ev * (W8 * Ws_s + WNS_s * WNS_s) \
-            + (ev - ev1) * W8 * Ws_s
+        s_macs += ev * (W8 * Ws_s + divs) + (ev - ev1) * W8 * Ws_s
         sev += ev
     return f_macs, s_macs, fev, sev
 
