@@ -35,6 +35,60 @@ class Analysis:
     sparse_fixed_r: "np.ndarray | None" = None
 
 
+def _col_etree(A: SlipMatrix, q: np.ndarray) -> np.ndarray:
+    """Column elimination tree of A[:, q] in STEP indices: parent[k] =
+    first later step whose column shares fill with step k's (the tree
+    of the Cholesky factor of (A[:, q])' A[:, q]; standard
+    path-compression algorithm, cf. native/slip_symbolic.cpp
+    slip_col_etree). parent[k] > k or -1 (root)."""
+    n = A.n
+    p, i = A.p, A.i
+    prev = np.full(A.m, -1, dtype=np.int64)
+    anc = np.full(n, -1, dtype=np.int64)
+    parent = np.full(n, -1, dtype=np.int64)
+    for k in range(n):
+        col = int(q[k])
+        for t in range(int(p[col]), int(p[col + 1])):
+            row = int(i[t])
+            r = prev[row] if prev[row] >= 0 else k
+            while r != -1 and r < k:
+                nxt = anc[r]
+                anc[r] = k
+                if nxt == -1:
+                    parent[r] = k
+                    break
+                r = nxt
+            prev[row] = k
+    return parent
+
+
+def etree_interleave(A: SlipMatrix, q: np.ndarray) -> np.ndarray:
+    """Reorder q so independent elimination-tree branches interleave.
+
+    Stable sort of the steps by etree LEVEL (leaf height): children
+    always precede parents, so the order is topological — the fill of
+    the column etree is preserved (the standard Cholesky-fill
+    invariance under topological reordering of the etree) — but
+    consecutive steps now come from DIFFERENT branches wherever the
+    tree branches. The scheduled device paths pack independent pivot
+    heads of adjacent steps into one chunk (tpu/schedule_stream.py),
+    so bushy etrees get their scan length cut by up to heads_per_chunk
+    (SURVEY §7 hard part 4: recover parallelism from the sequential
+    k-loop). A pure chain is returned unchanged."""
+    n = A.n
+    if n <= 2:
+        return q
+    parent = _col_etree(A, q)
+    level = np.zeros(n, dtype=np.int64)
+    for j in range(n):                  # parent[j] > j: one pass
+        pj = parent[j]
+        if pj >= 0 and level[j] + 1 > level[pj]:
+            level[pj] = level[j] + 1
+    if int(level.max()) + 1 >= n:       # pure chain — no branching
+        return q
+    return q[np.argsort(level, kind="stable")]
+
+
 def analyze(A: SlipMatrix, options: Optional[Options] = None) -> Analysis:
     """Compute the column ordering for REF LU (reference: SLIP_LU_analyze)."""
     options = options or Options()

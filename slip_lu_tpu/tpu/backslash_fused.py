@@ -134,25 +134,52 @@ def _merged(segplan):
     return tuple((lo, hi, w) for lo, hi, w in out)
 
 
-def _auto_capacities(sched, n: int):
-    """Per-matrix chunk-stream event capacities.
+def _resolve_order(A, analysis, q, fixed_r):
+    """One-time per analysis: pick the base or the etree-interleaved
+    column order for the scheduled paths, measured-thin rule.
 
-    Event-heavy matrices (grid/uniform fills: hundreds of IPGE updates
-    per step) want LARGE chunks — the per-chunk fixed cost (gather
-    loops, carry-normalize log passes, head phases) amortizes over more
-    events, and chunk count is capacity-bound there (measured grid24:
-    2080 chunks at C2=128, fill 0.61). Chain-like matrices (tri1000:
-    ~3 events/step, hazard-bound chunks) want SMALL capacities so the
-    VMEM scratch stays narrow. Aim chunk count ~ n/2 for the pass-2
-    stream: C2 ~ 2.2x the mean live-tile count per step, clamped to
-    [32, 512] powers of two; C1 = C2/4 (history fixes are the rarer
-    pass), floor 8."""
+    Interleaving independent elimination-tree branches
+    (analyze.etree_interleave — topological, fill-preserving) lets the
+    chunk packer put up to heads_per_chunk pivot heads in one chunk,
+    cutting the device scan for HEAD-BOUND streams (tri1000: 826 ->
+    284 factor chunks, solve 1725 -> 613). Event-bound streams get
+    NOTHING from it and lose event locality (grid24 factor chunks
+    2080 -> 3650), so the rule is: interleave only when the schedule
+    averages < 8 live IPGE tiles per step. The decision is sticky
+    (analysis.q is updated in place so every backend and the
+    cancellation-replan path stay consistent) and skipped entirely
+    once pinned pivot rows exist.
+
+    Returns (q, (sched, r) or None) — the schedule built while
+    deciding is handed back so the caller doesn't rebuild it."""
+    if fixed_r is not None or getattr(analysis, "ilv_decided", False):
+        return q, None
+    analysis.ilv_decided = True
+    sched, r = build_schedule_best(A, q, None)
     tp = np.asarray(sched.tile_pos)
     per_step = float((tp < sched.nnz).sum()) / max(sched.n, 1)
-    C2 = 32
-    while C2 < 512 and C2 < 2.2 * per_step:
-        C2 *= 2
-    return max(8, C2 // 4), C2
+    if per_step >= 8.0:
+        return q, (sched, r)
+    from ..analyze import etree_interleave
+    q2 = etree_interleave(A, q)
+    if q2 is q:
+        return q, (sched, r)
+    analysis.q = q2
+    sched2, r2 = build_schedule_best(A, q2, None)
+    return q2, (sched2, r2)
+
+
+def _auto_capacities(sched, n: int):
+    """Chunk-stream event capacities. Measured sweeps settle on the
+    fixed (32, 128): the vector unit processes 128 lanes per op
+    regardless of how few are live, so C2 > 128 costs extra vector
+    registers per op while hazard cuts keep big chunks partially full
+    (grid24 at C2=512: 147 ms vs 108 ms at 128), and SMALLER
+    capacities split chunks without making any op cheaper (tri1000 at
+    C1=8/C2=32: 333 ms vs 240 ms at 32/128 — every extra chunk pays
+    the fixed head/gather/carry overhead). Kept as a hook for stream
+    shapes that may want different trade-offs later."""
+    return 32, 128
 
 
 def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
@@ -190,9 +217,11 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
             if sc is not None and sc[0] == skey:
                 sched, r = sc[1]
             else:
-                sched, r = build_schedule_best(A, q, fixed_r)
+                q, built = _resolve_order(A, analysis, q, fixed_r)
+                sched, r = built if built is not None \
+                    else build_schedule_best(A, q, fixed_r)
                 analysis.fused_sched_only_cache = (skey, (sched, r))
-            c1a, c2a = _auto_capacities(sched, n)
+            c1a, c2a = _auto_capacities(sched, n)   # fixed (32, 128)
             p1 = pass1_events if pass1_events is not None else c1a
             p2 = pass2_events if pass2_events is not None else c2a
             cache = getattr(analysis, "fused_cache", None)
@@ -642,7 +671,9 @@ def _fused_many_group(As, analysis, bzs, bs, options, heads_per_chunk,
         if mcache is not None and mcache[0] == key:
             sched, r, es, dev_streams = mcache[1]
         else:
-            sched, r = build_schedule_best(A0, q, fr)
+            q, built = _resolve_order(A0, analysis, q, fr)
+            sched, r = built if built is not None \
+                else build_schedule_best(A0, q, fr)
             es = build_event_stream(sched, heads_per_chunk,
                                     pass1_events, pass2_events)
             dev_streams = _stream_arrays(es)

@@ -185,7 +185,7 @@ def _pass_body(C, Wt, Wo, W8, WN, WQ, WV, E_dummy,
                conv, facc, b_src_ref, flag_slot=1,
                hbm=(False, False, False), sem=None, KR=1,
                has_ab=True, m0=None, d0=None,
-               G=1, a_g=True, tab_g=True):
+               G=1, a_g=True, tab_g=True, um=None, ud=None):
     mT, bT, iT, acc0, acc1, pA, pB, qb = conv
     """One batched pass: gather -> fix/update formula -> scatter.
 
@@ -241,6 +241,17 @@ def _pass_body(C, Wt, Wo, W8, WN, WQ, WV, E_dummy,
     """
     t_hbm, a_hbm, b_hbm = hbm
     CL = C * G
+    # uniform mult/div shortcut (builder flag bits 4-7): one shared
+    # table row broadcasts to all lanes instead of per-event gathers.
+    # Disabled for member-ized tables (each member has its own row —
+    # broadcasting would need a G-row tile per lane block).
+    if G > 1 and tab_g:
+        um = ud = None
+    falsy = None
+    if um is None or ud is None:
+        falsy = jnp.zeros((), jnp.bool_)
+    umv = falsy if um is None else um
+    udv = falsy if ud is None else ud
 
     def _memb_copy(gat, src, e, idx):
         """gather rows of a member-ized source: G rows per event."""
@@ -263,10 +274,16 @@ def _pass_body(C, Wt, Wo, W8, WN, WQ, WV, E_dummy,
             t = ev_ref[0, e, 0]
             m_ = ev_ref[0, e, 1]
             d_ = ev_ref[0, e, 2]
-            _tab_copy(gat_m, SMT_ref, e, m_)
-            _tab_copy(gat_g, GT_ref, e, d_)
-            _tab_copy(gat_z, TZ_ref, e, d_)
-            _tab_copy(gat_dm, SMT_ref, e, d_)
+
+            @pl.when(~umv)
+            def _gm():
+                _tab_copy(gat_m, SMT_ref, e, m_)
+
+            @pl.when(~udv)
+            def _gd():
+                _tab_copy(gat_g, GT_ref, e, d_)
+                _tab_copy(gat_z, TZ_ref, e, d_)
+                _tab_copy(gat_dm, SMT_ref, e, d_)
             if t_hbm:
                 _gather_row(tgt_ref, t, gat_t, e, KR, sem)
             else:
@@ -307,8 +324,18 @@ def _pass_body(C, Wt, Wo, W8, WN, WQ, WV, E_dummy,
             lax.fori_loop(0, cnt, gwait, 0)
 
         tT = _planes_T(gat_t, CL, t_hbm)[:Wt]          # [Wt, CL]
-        iT[:] = gat_g[:CL, :].T[:WQ]                   # [WQ, CL]
-        tz = gat_z[:CL, :].T[0:1]                      # [1, CL]
+        if ud is None:
+            iT[:] = gat_g[:CL, :].T[:WQ]               # [WQ, CL]
+            tz = gat_z[:CL, :].T[0:1]                  # [1, CL]
+        else:
+            d0r = ev_ref[0, 0, 2]
+            gt_row = GT_ref[pl.ds(d0r, 1), :]
+            iT_u = jnp.broadcast_to(gt_row,
+                                    (CL, gt_row.shape[1])).T[:WQ]
+            iT[:] = jnp.where(ud, iT_u, gat_g[:CL, :].T[:WQ])
+            tz_u = jnp.broadcast_to(TZ_ref[pl.ds(d0r, 1), 0:1],
+                                    (1, CL))
+            tz = jnp.where(ud, tz_u, gat_z[:CL, :].T[0:1])
 
         # P side: target * rho_mult (skipped whole when mult == 0)
         @pl.when(m0)
@@ -318,7 +345,13 @@ def _pass_body(C, Wt, Wo, W8, WN, WQ, WV, E_dummy,
 
         @pl.when(~m0)
         def _pm1():
-            mT[:] = gat_m[:CL, :].T                    # [W8, CL]
+            if um is None:
+                mT[:] = gat_m[:CL, :].T                # [W8, CL]
+            else:
+                m0r = ev_ref[0, 0, 1]
+                mT_u = jnp.broadcast_to(
+                    SMT_ref[pl.ds(m0r, 1), :], (CL, W8)).T
+                mT[:] = jnp.where(um, mT_u, gat_m[:CL, :].T)
             p1u = pk.mul_mod(tT, mT, 0, W8, acc0, acc1, WN)
             pos1, neg1 = _signed_terms(p1u, tT, mT[:], WN)
             pA[:] = pk.carry_normalize(p1u + pos1, 2 * MASK16)
@@ -352,7 +385,13 @@ def _pass_body(C, Wt, Wo, W8, WN, WQ, WV, E_dummy,
         def _qd1():
             shifted = pk.shr_bits(num, tz, W8)
             qp = pk.mul_mod(shifted[:WQ], iT, 0, WQ, acc0, acc1, WQ)
-            mT[:] = gat_dm[:CL, :].T[:W8]              # rho_div [W8, CL]
+            if ud is None:
+                mT[:] = gat_dm[:CL, :].T[:W8]          # rho_div [W8, CL]
+            else:
+                dm_u = jnp.broadcast_to(
+                    SMT_ref[pl.ds(ev_ref[0, 0, 2], 1), :],
+                    (CL, W8)).T[:W8]
+                mT[:] = jnp.where(ud, dm_u, gat_dm[:CL, :].T[:W8])
             vu = pk.mul_mod(qp, mT, 0, W8, acc0, acc1, WV)
             posv, negv = _signed_terms(vu, qp, mT[:], WV)
             v = pk.sub_mod(pk.carry_normalize(vu + posv, 2 * MASK16),
@@ -629,13 +668,15 @@ def _factor_kernel(h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
                gat_z, gat_dm, scat,
                (mT1, bT1, iT1, acc0a, acc1a, pA1, pB1, qb1),
                facc, val, flag_slot=3, hbm=vh, sem=sem, KR=KR,
-               has_ab=False, m0=(fl & 1) != 0, d0=(fl & 4) != 0, G=G)
+               has_ab=False, m0=(fl & 1) != 0, d0=(fl & 4) != 0, G=G,
+               um=(fl & 16) != 0, ud=(fl & 32) != 0)
     _pass_body(C2, W8, W8, W8, WN, WQ, WV, E, cnts[0, 0, 2], ev2, val,
                val, SMT, GT, TZ, gat_t, gat_m, gat_a, gat_b, gat_g,
                gat_z, gat_dm, scat,
                (mT2, bT2, iT2, acc0b, acc1b, pA2, pB2, qb2),
                facc, val, flag_slot=4, hbm=vh, sem=sem, KR=KR,
-               has_ab=True, m0=(fl & 2) != 0, d0=(fl & 8) != 0, G=G)
+               has_ab=True, m0=(fl & 2) != 0, d0=(fl & 8) != 0, G=G,
+               um=(fl & 64) != 0, ud=(fl & 128) != 0)
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _fin():
@@ -809,14 +850,16 @@ def _solve_kernel(cnts, ev1, ev2, val, SMT, GT, TZ, X_in,
                (mT1, bT1, iT1, acc0a, acc1a, pA1, pB1, qb1),
                facc, X, flag_slot=3, hbm=vh, sem=sem, KR=KR,
                has_ab=False, m0=(fl & 1) != 0, d0=(fl & 4) != 0,
-               G=G, a_g=a_g, tab_g=tab_g)
+               G=G, a_g=a_g, tab_g=tab_g,
+               um=(fl & 16) != 0, ud=(fl & 32) != 0)
     _pass_body(C2, Ws8, Ws8, W8, WNS, WQ, WV, n, cnts[0, 0, 2], ev2, X,
                val, SMT, GT, TZ, gat_t, gat_m, gat_a, gat_b, gat_g,
                gat_z, gat_dm, scat,
                (mT2, bT2, iT2, acc0b, acc1b, pA2, pB2, qb2),
                facc, X, flag_slot=4, hbm=vh, sem=sem, KR=KR,
                has_ab=True, m0=(fl & 2) != 0, d0=(fl & 8) != 0,
-               G=G, a_g=a_g, tab_g=tab_g)
+               G=G, a_g=a_g, tab_g=tab_g,
+               um=(fl & 64) != 0, ud=(fl & 128) != 0)
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _fin():

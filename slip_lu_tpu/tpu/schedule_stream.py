@@ -208,6 +208,12 @@ class _ChunkBuilder:
             # mult == 0 (SMT[0] = 1: skip the t*rho product), bit2/bit3
             # likewise div == 0 (GT[0] = identity: skip the Hensel
             # division). Back-substitution chunks set all of bit1|bit3.
+            # bits 4-7: UNIFORM mult/div — every pass-1/pass-2 event
+            # shares ONE mult (bit4/bit6) or ONE div (bit5/bit7) table
+            # row, so the kernel broadcasts a single row instead of
+            # gathering per event (most chunks span few elimination
+            # steps; the per-event scalar row copies were the dominant
+            # per-chunk cost on gather-bound matrices).
             flags = 0
             if p1 and all(e[1] == 0 for e in p1):
                 flags |= 1
@@ -217,6 +223,14 @@ class _ChunkBuilder:
                 flags |= 4
             if p2 and all(e[2] == 0 for e in p2):
                 flags |= 8
+            if p1 and all(e[1] == p1[0][1] for e in p1):
+                flags |= 16
+            if p1 and all(e[2] == p1[0][2] for e in p1):
+                flags |= 32
+            if p2 and all(e[1] == p2[0][1] for e in p2):
+                flags |= 64
+            if p2 and all(e[2] == p2[0][2] for e in p2):
+                flags |= 128
             counts[c] = (len(h), len(p1), len(p2), flags)
             used += len(p1) + len(p2)
             # a head at step k writes rho_k (level k); an event with

@@ -210,3 +210,51 @@ def test_stream_counts_match_events():
             # non-pad events pack densely from slot 0
             assert (sc.ev1[c, :n1, 0] != E_dummy).all()
             assert (sc.ev2[c, :n2, 0] != E_dummy).all()
+
+
+def test_etree_parallel_head_packing():
+    """Independent elimination-tree branches pack multiple pivot heads
+    per chunk (SURVEY §7 hard part 4: recover parallelism from the
+    sequential k-loop). A block-diagonal matrix's etree is a forest —
+    every block's columns are independent — so the greedy chunk packer
+    must put ~heads_per_chunk heads in each chunk, making the device
+    scan much shorter than n."""
+    rng = np.random.default_rng(17)
+    nb, bs_ = 24, 4
+    n = nb * bs_
+    dense = np.zeros((n, n), dtype=object)
+    for b in range(nb):
+        o = b * bs_
+        for r in range(bs_):
+            for c in range(bs_):
+                if r == c:
+                    # dominant diagonal: every block nonsingular
+                    dense[o + r, o + c] = 100 + int(rng.integers(0, 9))
+                elif rng.random() < 0.5:
+                    dense[o + r, o + c] = int(rng.integers(1, 9))
+    A = matrix_copy(SlipMatrix.from_dense(dense, Type.MPZ),
+                    Kind.CSC, Type.MPZ)
+    from slip_lu_tpu.analyze import etree_interleave
+    ana = analyze(A, Options())
+    q = etree_interleave(A, np.asarray(ana.q, dtype=np.int64))
+    sched, r = build_schedule_best(A, q, None)
+    es = build_event_stream(sched)          # heads_per_chunk = 8
+    f = es.factor
+    heads = int(f.counts[:, 0].sum())
+    assert heads == n
+    # forest etree: chunks carry several independent heads each
+    assert f.nchunks < n // 2, (f.nchunks, n)
+    assert heads / f.nchunks > 2.0
+    # and the stream still replays to the exact oracle solution
+    Aq = _permute_cols(A, q)
+    avals = [int(Aq.x[t]) for c in range(n)
+             for t in range(int(Aq.p[c]), int(Aq.p[c + 1]))]
+    b = SlipMatrix.from_dense(
+        np.array([[int(rng.integers(-9, 9))] for _ in range(n)],
+                 dtype=object), Type.MPZ)
+    b_rows = [[int(b.x[int(r[k]), 0])] for k in range(n)]
+    val, X, det, sing = replay_stream(es, avals, b_rows, n)
+    assert not sing
+    x_host = backslash(A, b, Type.MPQ, Options())
+    for k in range(n):
+        assert Fraction(X[k][0], det) == x_host.x[int(q[k]), 0]
