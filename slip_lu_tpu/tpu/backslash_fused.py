@@ -652,8 +652,13 @@ def factorize_solve_tpu_fused_many(As, analysis, bs,
 
 
 def _fused_many_group(As, analysis, bzs, bs, options, heads_per_chunk,
-                      pass1_events, pass2_events, nrhs):
-    """One member-lane group (G = len(As), a multiple of 8)."""
+                      pass1_events, pass2_events, nrhs, plan=0):
+    """One member-lane group (G = len(As), a multiple of 8 on
+    hardware). plan=0 runs the transversal-diagonal schedule; if a
+    member's pivot cancels exactly, plan 1 replans the WHOLE family
+    around one member's oracle pivot rows (pinned on the shared
+    Analysis, like the single-matrix driver) — members whose values
+    still cancel on the pinned rows fall back individually."""
     G = len(As)
     A0 = As[0]
     n = A0.n
@@ -717,6 +722,9 @@ def _fused_many_group(As, analysis, bzs, bs, options, heads_per_chunk,
 
     Wmin_in = max(2, W_in + 1)
     segplan = None
+    scache = getattr(analysis, "fused_many_seg_cache", None)
+    if scache is not None and scache[0] == (key, G, W, Ws):
+        segplan = [list(sg) for sg in scache[1]]
     while True:
         W8 = _r8(W)
         Ws8 = _r8(max(Ws, W + 1))
@@ -850,6 +858,7 @@ def _fused_many_group(As, analysis, bzs, bs, options, heads_per_chunk,
             continue
         if options.max_limbs is None:
             analysis.fused_many_width_cache = ((key, G), W, Ws)
+            analysis.fused_many_seg_cache = ((key, G, W, Ws), segments)
         break
 
     xs = []
@@ -872,10 +881,31 @@ def _fused_many_group(As, analysis, bzs, bs, options, heads_per_chunk,
                     x.x[int(q[k]), c] = _mpq(xh[k] * fnum, den_all)
             xs.append(x)
     record(st)
+    if plan == 0 and any(x is None for x in xs) and fr is None:
+        # exact cancellation on the shared transversal schedule:
+        # replan the WHOLE family around one singing member's oracle
+        # pivot rows (the reference's dynamic pivot search, done once
+        # on host — slip_get_pivot.c analogue), exactly like the
+        # single-matrix driver's plan 1. Warm family solves then hit
+        # the pinned schedule directly via analysis.sparse_fixed_r.
+        from ..errors import SlipSingularError
+        from ..factorize import factorize
+        g0 = next(g for g in range(G) if xs[g] is None)
+        try:
+            with phase_timer(st, "replan"):
+                F = factorize(As[g0], analysis, options)
+            analysis.sparse_fixed_r = np.asarray(F.row_perm,
+                                                 dtype=np.int64)
+            return _fused_many_group(As, analysis, bzs, bs, options,
+                                     heads_per_chunk, pass1_events,
+                                     pass2_events, nrhs, plan=1)
+        except SlipSingularError:
+            pass                    # truly singular member: fall back
     for g in range(G):
         if xs[g] is None:
-            # exact cancellation on this member's scheduled pivot:
-            # the single-matrix driver replans around oracle pivots
+            # this member's values cancel even on the pinned rows (or
+            # it is genuinely singular): the single-matrix driver
+            # replans around ITS OWN oracle pivots / raises
             from ..analyze import analyze
             ana_g = analyze(As[g], options)
             xs[g] = factorize_solve_tpu_fused(

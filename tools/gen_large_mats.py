@@ -113,6 +113,12 @@ def main():
     rng = np.random.default_rng(20260817)
     emit("uni10k", 1400, 2, 12, rng)      # ~10-13K nnz
     emit("uni100k", 13000, 2, 12, rng)    # ~100-125K nnz
+    if "--with-1m" in sys.argv:
+        # ~1M nnz (BASELINE config 3 top end). Deterministic, but NOT
+        # committed to the repo (13MB of text): regenerate on demand
+        # with this flag; the slow-tier scale test does so itself.
+        rng1m = np.random.default_rng(20260819)
+        emit("uni1m", 130000, 2, 12, rng1m)
     print("done ->", OUT)
 
 
