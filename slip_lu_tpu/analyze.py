@@ -101,23 +101,33 @@ def analyze(A: SlipMatrix, options: Optional[Options] = None) -> Analysis:
     if n == 0:
         return Analysis(q=np.zeros(0, dtype=np.int64), lnz=0, unz=0)
 
+    est_fill = None
     if options.order == Ordering.NONE:
         q = np.arange(n, dtype=np.int64)
     elif options.order == Ordering.AMD:
         from .ordering.native import amd_order_best
-        q = amd_order_best(A)
+        q, est_fill = amd_order_best(A, want_fill=True)
     elif options.order == Ordering.COLAMD:
         from .ordering.native import colamd_order_best
-        q = colamd_order_best(A)
+        q, est_fill = colamd_order_best(A, want_fill=True)
     else:
         raise SlipIncorrectInputError(f"unknown ordering {options.order!r}")
 
     # Fill estimates: the reference seeds these from the ordering's stats
-    # (e.g. AMD Info[AMD_LNZ]) and grows L/U dynamically when exceeded
-    # (slip_sparse_realloc.c). Our containers grow natively, so these are
-    # pre-size hints with the reference's fallback formula.
+    # (AMD Info[AMD_LNZ], reference SLIP_LU_analyze.c) and grows L/U
+    # dynamically when exceeded (slip_sparse_realloc.c). The native
+    # quotient-graph engine reports the same statistic (sum of pivot
+    # degrees x supervariable weights, native/slip_amd.cpp); the
+    # reference's formula remains the fallback when the ordering ran
+    # without the native library (est_fill is None) or was the identity.
     nnz = A.nnz()
-    guess = min(int(10 + 2 * nnz + n), n * (n + 1) // 2)
+    cap = n * (n + 1) // 2
+    if est_fill is not None:
+        # est_fill counts strictly-sub-diagonal fill; lnz/unz include
+        # the diagonal, like the reference's Info[AMD_LNZ] + n seeding
+        guess = min(int(est_fill) + n, cap)
+    else:
+        guess = min(int(10 + 2 * nnz + n), cap)
     analysis = Analysis(q=q, lnz=guess, unz=guess)
     if options.print_level >= 1:
         print(f"analyze: n={n} nnz={nnz} order={options.order.name} "

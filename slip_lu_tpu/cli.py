@@ -42,8 +42,12 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--prec", type=int, default=128,
                    help="bits of precision for --out-type mpfr")
     p.add_argument("--backend",
-                   choices=["host", "tpu", "tpu-sparse", "sharded"],
-                   default="host", help="execution backend")
+                   choices=["host", "tpu", "tpu-sparse", "tpu-fused",
+                            "sharded"],
+                   default="host",
+                   help="execution backend (tpu-fused is the flagship "
+                        "device path: the whole solve as one Pallas "
+                        "program)")
     p.add_argument("--check", action="store_true",
                    help="verify A x == b exactly in rational arithmetic")
     p.add_argument("--time", action="store_true", dest="timing",

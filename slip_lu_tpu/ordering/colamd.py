@@ -25,14 +25,31 @@ def colamd_order(A: SlipMatrix) -> np.ndarray:
     if A.kind != Kind.CSC:
         raise SlipIncorrectInputError("ordering requires CSC input")
     m, n = A.m, A.n
+    if n > 5000:
+        # the native quotient-graph engine (native/slip_amd.cpp) is the
+        # shipped ordering at scale; this greedy fallback materializes
+        # column-intersection edges and is only meant as the oracle on
+        # small inputs — make a large silent fallback loud
+        import warnings
+        warnings.warn(
+            f"Python COLAMD fallback on n={n}: build the native "
+            "symbolic library (make -C native) for production ordering",
+            RuntimeWarning, stacklevel=2)
     # rows-of-column and columns-of-row index lists
     cols_of_row: List[List[int]] = [[] for _ in range(m)]
     for col in range(n):
         for idx in range(int(A.p[col]), int(A.p[col + 1])):
             cols_of_row[int(A.i[idx])].append(col)
-    # column-intersection adjacency (pattern of A'A, no diagonal)
+    # Dense rows are stripped from adjacency construction (same
+    # sqrt-threshold rule as the native engine and the real COLAMD,
+    # which never forms A'A): a single dense row would otherwise
+    # contribute O(n^2) explicit edges. Dropping a row from SCORING
+    # only affects ordering quality, never correctness.
+    thresh = max(16, 10 * int(np.sqrt(max(n, 1))))
+    scored_rows = [cols for cols in cols_of_row if len(cols) <= thresh]
+    # column-intersection adjacency (pattern of A'A on scored rows)
     adj: List[set] = [set() for _ in range(n)]
-    for cols in cols_of_row:
+    for cols in scored_rows:
         for a in cols:
             for b in cols:
                 if a != b:

@@ -78,3 +78,10 @@ def test_cli_sharded_backend(capsys):
                "--backend", "sharded", "--check"])
     assert rc == 0
     assert "verified exactly" in capsys.readouterr().out
+
+
+def test_cli_fused_backend(capsys):
+    rc = main([_mat("tiny4_mat.txt"), _mat("tiny4_v.txt"),
+               "--backend", "tpu-fused", "--check"])
+    assert rc == 0
+    assert "verified exactly" in capsys.readouterr().out

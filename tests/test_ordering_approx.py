@@ -126,3 +126,34 @@ def test_solve_exact_with_approx_ordering():
                  dtype=object), Type.MPZ)
     x = backslash(A, b, Type.MPQ, Options(check=True))
     check_solution(A, x, b)
+
+
+def test_est_fill_seeds_analysis_and_bounds_actual_fill():
+    """analyze() seeds lnz/unz from the native engine's est_fill (the
+    reference seeds from AMD's Info[AMD_LNZ]; SLIP_LU_analyze.c), and
+    the estimate upper-bounds the actual L fill on the shipped corpus
+    (approximate external degrees never under-count true degrees)."""
+    import glob
+    import os
+
+    from slip_lu_tpu import (Options, analyze, factorize, read_triplet)
+    from slip_lu_tpu.ordering.native import native_available
+
+    if not native_available():
+        import pytest
+        pytest.skip("native symbolic library not built")
+
+    corpus = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "ExampleMats")
+    checked = 0
+    for f in sorted(glob.glob(os.path.join(corpus, "*_mat.txt"))):
+        name = os.path.basename(f)[:-8]
+        if name in ("uni10k", "uni100k", "tri1000", "grid24"):
+            continue                    # slow-tier members
+        A = matrix_copy(read_triplet(f), Kind.CSC, Type.MPZ)
+        ana = analyze(A)
+        F = factorize(A, ana, Options())
+        actual_lnz = sum(len(c) for c in F.Lcols)
+        assert ana.lnz >= actual_lnz, (name, ana.lnz, actual_lnz)
+        checked += 1
+    assert checked >= 10

@@ -108,6 +108,15 @@ def emit(name, n, per, band, rng):
           f"|A|max={int(abs(A).max())} |b|max={int(np.abs(b).max())}")
 
 
+def emit_1m():
+    """Generate the ~1M-nnz member (idempotent: skips if present)."""
+    if os.path.exists(os.path.join(OUT, "uni1m_mat.txt")):
+        return
+    os.makedirs(OUT, exist_ok=True)
+    rng1m = np.random.default_rng(20260819)
+    emit("uni1m", 130000, 2, 12, rng1m)
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     rng = np.random.default_rng(20260817)
@@ -116,9 +125,9 @@ def main():
     if "--with-1m" in sys.argv:
         # ~1M nnz (BASELINE config 3 top end). Deterministic, but NOT
         # committed to the repo (13MB of text): regenerate on demand
-        # with this flag; the slow-tier scale test does so itself.
-        rng1m = np.random.default_rng(20260819)
-        emit("uni1m", 130000, 2, 12, rng1m)
+        # with this flag — tests/test_scale.py (slow tier) and the 1M
+        # bench entry (ROADMAP) call emit_1m() below to do the same.
+        emit_1m()
     print("done ->", OUT)
 
 

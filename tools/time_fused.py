@@ -64,6 +64,13 @@ for bk in which:
         for i in range(A.n):
             assert x.x[i, 0] == x_ref.x[i, 0], i
         print(f"{bk}: parity OK", flush=True)
+    else:
+        # no host-oracle run (too slow at this scale): verify with the
+        # exact rational check A @ x == b instead (the reference's own
+        # oracle, slip_check_solution.c) — O(nnz) rational work
+        from slip_lu_tpu.solve import check_solution
+        check_solution(A, x, b)
+        print(f"{bk}: exact rational check OK", flush=True)
     t0 = time.perf_counter()
     for _ in range(REPS):
         x = run(A, ana, b, opts)
