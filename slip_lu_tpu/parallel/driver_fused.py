@@ -1,0 +1,219 @@
+"""Host driver for the sharded fused exact solve (the flagship path,
+multi-chip).
+
+Mirrors tpu/backslash_fused.py's pipeline — schedule + chunk streams +
+optimistic widths with a sound widen-and-retry ladder — but the streams
+are chip-partitioned (stream_shard_fused.py) and the device program is
+the sharded superstep scan (factor_fused_shard.py). v1 runs a single
+full-width segment (no adaptive-width segmentation) and falls back to
+the single-chip fused driver on exact pivot cancellation (which replans
+there; reference analogue: slip_get_pivot.c's dynamic search).
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+from math import gcd
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from ..analyze import Analysis
+from ..convert import matrix_copy
+from ..errors import SlipIncorrectInputError, SlipLimbOverflowError
+from ..matrix import Kind, SlipMatrix, Type
+from ..options import Options
+from ..stats import SolveStats, phase_timer, record
+from ..tpu.backslash_fused import _mpq, _resolve_order, _tc_width
+from ..tpu.bounds import (_input_width, factor_width, hadamard_bits,
+                          solve_width)
+from ..tpu.factor_fused import _r8, ints_to_tc_rows, tc_rows_to_ints
+from ..tpu.schedule import _permute_cols
+from ..tpu.schedule_native import build_schedule_best
+from .factor_fused_shard import fused_sharded_solve
+from .stream_shard_fused import build_sharded_stream
+
+
+def _pad_bc(chunks, dummy):
+    """Pad a ShardedChunks' bc arrays to a lane-friendly width."""
+    CB8 = max(8, _r8(chunks.CB))
+    nc = chunks.nchunks
+    p = chunks.mine_bc.shape[0]
+    bidx = np.full((nc, CB8), dummy, np.int32)
+    bidx[:, :chunks.bc_idx.shape[1]] = chunks.bc_idx
+    mbc = np.zeros((p, nc, CB8), np.int32)
+    mbc[:, :, :chunks.mine_bc.shape[2]] = chunks.mine_bc
+    return bidx, mbc
+
+
+def factorize_solve_fused_sharded(A: SlipMatrix, analysis: Analysis,
+                                  b: SlipMatrix, mesh: Mesh,
+                                  options: Optional[Options] = None,
+                                  heads_per_chunk: int = 8,
+                                  pass1_events: int = 32,
+                                  pass2_events: int = 128
+                                  ) -> SlipMatrix:
+    options = options or Options()
+    options.validate()
+    if A.kind != Kind.CSC or A.type != Type.MPZ:
+        raise SlipIncorrectInputError(
+            "sharded fused path requires CSC x MPZ input")
+    n = A.n
+    if b.m != n:
+        raise SlipIncorrectInputError(
+            f"b has {b.m} rows, matrix has {n}")
+    bz = matrix_copy(b, Kind.DENSE, Type.MPZ, options)
+    nrhs = bz.n
+    if n == 0:
+        return SlipMatrix.allocate(Kind.DENSE, Type.MPQ, 0, nrhs)
+    p = int(np.prod(mesh.devices.shape))
+    st = SolveStats(backend="tpu-fused-sharded", n=n, nnz=int(A.p[n]),
+                    nrhs=nrhs)
+    q = np.asarray(analysis.q, dtype=np.int64)
+    fixed_r = analysis.sparse_fixed_r
+
+    with phase_timer(st, "schedule"):
+        skey = None if fixed_r is None else fixed_r.tobytes()
+        key = (p, heads_per_chunk, pass1_events, pass2_events, skey)
+        cache = getattr(analysis, "fused_shard_cache", None)
+        if cache is not None and cache[0] == key:
+            sched, r, ses, avals = cache[1]
+        else:
+            q, built = _resolve_order(A, analysis, q, fixed_r)
+            sched, r = built if built is not None \
+                else build_schedule_best(A, q, fixed_r)
+            ses = build_sharded_stream(sched, p, heads_per_chunk,
+                                       pass1_events, pass2_events)
+            Aq = _permute_cols(A, q)
+            avals = [int(Aq.x[idx]) for c in range(n)
+                     for idx in range(int(Aq.p[c]), int(Aq.p[c + 1]))]
+            analysis.fused_shard_cache = (key, (sched, r, ses, avals))
+    st.lnz, st.unz = ses.lnz, ses.unz
+    E = ses.nnz
+    E8 = _r8(E + 1)
+    fb_idx, fb_mbc = _pad_bc(ses.factor, E)
+    sb_idx, sb_mbc = _pad_bc(ses.solve, n)
+    xown = np.zeros((p, _r8(n)), np.int32)
+    for i in range(n):
+        xown[i % p, i] = 1
+
+    hbits = getattr(analysis, "hadamard_bits_cache", None)
+    if hbits is None:
+        hbits = hadamard_bits(A)
+        analysis.hadamard_bits_cache = hbits
+    W_full = factor_width(A, hbits=hbits)
+    Ws_full = solve_width(A, bz.x, W_full, n, hbits=hbits)
+    W_in = _input_width(avals)
+    Wb_in = _input_width(bz.x.reshape(-1))
+    if options.max_limbs is not None:
+        W = factor_width(A, options.max_limbs, hbits=hbits)
+        Ws = solve_width(A, bz.x, W, n, options.max_limbs, hbits=hbits)
+    else:
+        # converged single-chip widths transfer exactly (same pivot
+        # sequence): reuse the fused cache when present
+        wcache = getattr(analysis, "fused_width_cache", None)
+        if wcache is not None:
+            W, Ws = wcache
+            W = min(max(W, W_in), W_full)
+            Ws = min(max(Ws, W + 1, Wb_in), Ws_full)
+        else:
+            W = min(max(2, W_in + 1, min(-(-W_full // 16), 16)),
+                    W_full)
+            Ws = min(max(W + 1, Wb_in + 1,
+                         min(-(-Ws_full // 16), 32)), Ws_full)
+
+    sing_seen = False
+    while True:
+        W8 = _r8(W)
+        Ws8 = _r8(max(Ws, W + 1))
+        WN = _r8(2 * W8 + 2)
+        WNS = _r8(W8 + Ws8 + 2)
+        WI8 = _r8(max(W8, Ws8) + 2)
+        st.W, st.Ws = W8, Ws8
+        with phase_timer(st, "pack"):
+            val_in = np.zeros((E8, W8), dtype=np.int32)
+            val_in[np.asarray(ses.init_pos)] = ints_to_tc_rows(
+                avals, W8)
+            X8 = _r8(n + 1)
+            bcols = [[int(bz.x[int(r[k]), c]) for k in range(n)]
+                     for c in range(nrhs)]
+            X0 = np.zeros((nrhs, X8, Ws8), dtype=np.int32)
+            for c in range(nrhs):
+                X0[c, :n] = ints_to_tc_rows(bcols[c], Ws8)
+        with phase_timer(st, "device"):
+            flat = np.asarray(jax.device_get(fused_sharded_solve(
+                mesh, n, E, W8, Ws8, WN, WNS, WI8, heads_per_chunk,
+                pass1_events, pass2_events,
+                fb_idx.shape[1], sb_idx.shape[1], nrhs,
+                jnp.asarray(ses.factor.h_step),
+                jnp.asarray(ses.factor.h_slot),
+                jnp.asarray(ses.factor.h_div),
+                jnp.asarray(ses.factor.mine_diag),
+                jnp.asarray(ses.factor.counts),
+                jnp.asarray(ses.factor.ev1),
+                jnp.asarray(ses.factor.ev2),
+                jnp.asarray(fb_idx),
+                jnp.asarray(ses.factor.bc_cnt),
+                jnp.asarray(fb_mbc),
+                jnp.asarray(ses.solve.counts),
+                jnp.asarray(ses.solve.ev1),
+                jnp.asarray(ses.solve.ev2),
+                jnp.asarray(sb_idx),
+                jnp.asarray(ses.solve.bc_cnt),
+                jnp.asarray(sb_mbc),
+                jnp.asarray(xown),
+                jnp.asarray(val_in),
+                jnp.asarray(X0))))
+        fsing, fovf, sovf = (bool(flat[0]), bool(flat[1]),
+                             bool(flat[2]))
+        sing_seen = sing_seen or fsing
+        if fsing and not fovf:
+            break                       # genuine cancellation: replan
+        if fovf or sovf:
+            W2, Ws2 = W, Ws
+            if fovf:
+                W2 = min(2 * W, W_full)
+            else:
+                Ws2 = min(2 * Ws, Ws_full)
+            Ws2 = max(Ws2, W2 + 1)
+            if (W2, Ws2) == (W, Ws):
+                if fsing:
+                    break
+                raise SlipLimbOverflowError(
+                    "overflow persists at the analytic width bound "
+                    f"(W={W}, Ws={Ws})")
+            W, Ws = W2, Ws2
+            st.retries += 1
+            continue
+        if options.max_limbs is None:
+            # converged widths are pivot-sequence properties — share
+            # them with the single-chip fused driver's cache
+            analysis.fused_width_cache = (W, Ws)
+        with phase_timer(st, "unpack"):
+            o = 3
+            det = tc_rows_to_ints(flat[o:o + W8][None, :])[0]
+            o += W8
+            x = SlipMatrix.allocate(Kind.DENSE, Type.MPQ, n, nrhs)
+            factor = A.scale / bz.scale
+            fnum, fden = factor.numerator, factor.denominator
+            den_all = det * fden
+            for c in range(nrhs):
+                xh = tc_rows_to_ints(
+                    flat[o:o + n * Ws8].reshape(n, Ws8))
+                o += n * Ws8
+                for k in range(n):
+                    x.x[int(q[k]), c] = _mpq(xh[k] * fnum, den_all)
+        record(st)
+        return x
+
+    # exact cancellation on the scheduled pivots: the single-chip fused
+    # driver replans around the oracle's pivot rows (and pins them on
+    # the shared Analysis for future sharded solves)
+    st.fallback = True
+    record(st)
+    from ..tpu.backslash_fused import factorize_solve_tpu_fused
+    return factorize_solve_tpu_fused(A, analysis, b, options)

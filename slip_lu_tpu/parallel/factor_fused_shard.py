@@ -1,0 +1,387 @@
+"""Sharded fused exact solve: the flagship mega-kernel path, multi-chip.
+
+Executes the chip-partitioned chunk streams of stream_shard_fused.py
+under shard_map. Per chunk (one sharded superstep):
+
+    diag psum -> [heads replicated + pass-1 local + B-gather]  (pallas)
+              -> B psum -> [B-scatter + pass-2 local]          (pallas)
+
+Tables (SMT/GT/TZ) are replicated and stay bit-identical on every chip
+because phase A is replicated from psum-broadcast diagonals (integer
+collectives; the same topology-independence argument as
+parallel/factor_sparse_shard.py). The value table is held full-size per
+chip (v1): each chip's copy is authoritative for its own rows,
+refreshed by the broadcasts for everything it reads. All O(W^2) event
+arithmetic is chip-local.
+
+Reference anchor: the k-loop of SLIP_LU_factorize.c (SURVEY §3.2)
+distributed block-row; SLIP_LU_solve.c for the solve scan.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops import pallas_limbs as pk
+from ..tpu.factor_fused import (_heads_phase, _lift_phase, _pass_body,
+                                _interpret, _r8, ints_to_tc_rows,
+                                tc_rows_to_ints)
+from .shard import mesh_axes
+
+
+def _smem(shape):
+    return pl.BlockSpec(shape, memory_space=pltpu.SMEM)
+
+
+def _vmem(shape):
+    return pl.BlockSpec(shape, memory_space=pltpu.VMEM)
+
+
+# ------------------------------------------------------------------ AB
+def _ab_kernel(cnt, hs, hsl, hd, ev1, bidx, bcn, diag_b,
+               val_in, SMT_in, GT_in, TZ_in, facc_in, mbc,
+               val, SMT, GT, TZ, facc, bc_out,
+               *scratch, n, E, W8, WN, WQ, WV, WI8, H, C1, CB8,
+               heads, Wt, is_solve):
+    """One chunk: replicated heads (+lift) -> local pass 1 -> B gather.
+
+    For the solve stream (is_solve=True) `val` is X ([X8, Ws8]) and the
+    a-operands come from the separate finished value table passed as
+    `diag_b`'s sibling — see _solve caller (heads=False there)."""
+    (gat_t, gat_m, gat_a, gat_b, gat_g, gat_z, gat_dm, scat,
+     mT1, bT1, iT1, acc0a, acc1a, pA1, pB1, qb1,
+     hgx, hgm, hgi, hgz, hgv, hmT, hiT, hbT, nbuf, Rbuf,
+     lacc0, lacc1, ld, lx, lu, ltz) = scratch
+
+    any_heads = (cnt[0, 0] > 0) if heads else False
+    fl = cnt[0, 3]
+
+    if heads:
+        ks = [hs[0, t] for t in range(H)]
+        slots = [hsl[0, t] for t in range(H)]
+        dvs = [hd[0, t] for t in range(H)]
+
+        @pl.when(any_heads)
+        def _hi():
+            ld[:] = jnp.zeros_like(ld)
+            ld[0:1, :] = jnp.ones((1, ld.shape[1]), jnp.int32)
+            ltz[:] = jnp.zeros_like(ltz)
+
+        @pl.when(any_heads)
+        def _h():
+            _heads_phase(ks, slots, dvs, (fl & 256) != 0,
+                         val, SMT, GT, TZ,
+                         hgx, hgm, hgi, hgz, hgv, hmT, hiT, hbT,
+                         nbuf, Rbuf, lacc0, lacc1, ld, ltz, facc,
+                         W8=W8, WN=WN, WQ=WQ, WV=WV, WI8=WI8, G=1,
+                         diag_ext=diag_b)
+
+        @pl.when(any_heads)
+        def _l():
+            _lift_phase(ks, GT, TZ, ld, lx, lu, ltz, lacc0, lacc1,
+                        WI8=WI8, G=1)
+
+    _pass_body(C1, Wt, Wt, W8, WN, WQ, WV, E, cnt[0, 1], ev1, val,
+               val, SMT, GT, TZ, gat_t, gat_m, gat_a, gat_b, gat_g,
+               gat_z, gat_dm, scat,
+               (mT1, bT1, iT1, acc0a, acc1a, pA1, pB1, qb1),
+               facc, val, flag_slot=3, hbm=(False, False, False),
+               sem=None, KR=1, has_ab=False,
+               m0=(fl & 1) != 0, d0=(fl & 4) != 0,
+               um=(fl & 16) != 0, ud=(fl & 32) != 0)
+
+    # B-operand gather, owner-masked (post-pass-1 values)
+    bc_out[:] = jnp.zeros_like(bc_out)
+
+    def bcg(e, _):
+        idx = bidx[0, e]
+        m = mbc[0, e]
+        bc_out[pl.ds(e, 1), :] = val[pl.ds(idx, 1), :] * m
+        return 0
+
+    lax.fori_loop(0, bcn[0, 0], bcg, 0)
+
+
+# ------------------------------------------------------------------- C
+def _c_kernel(cnt, ev2, bidx, bcn, bc, a_src, SMT, GT, TZ,
+              val_in, facc_in, val, facc,
+              *scratch, n, E, W8, WN, WQ, WV, WI8, C2, Wt, is_solve):
+    """One chunk: B scatter -> local pass 2."""
+    (gat_t, gat_m, gat_a, gat_b, gat_g, gat_z, gat_dm, scat,
+     mT2, bT2, iT2, acc0b, acc1b, pA2, pB2, qb2) = scratch
+    fl = cnt[0, 3]
+
+    def sct(e, _):
+        idx = bidx[0, e]
+        val[pl.ds(idx, 1), :] = bc[pl.ds(e, 1), :]
+        return 0
+
+    lax.fori_loop(0, bcn[0, 0], sct, 0)
+
+    _pass_body(C2, Wt, Wt, W8, WN, WQ, WV, E, cnt[0, 2], ev2, val,
+               a_src, SMT, GT, TZ, gat_t, gat_m, gat_a, gat_b, gat_g,
+               gat_z, gat_dm, scat,
+               (mT2, bT2, iT2, acc0b, acc1b, pA2, pB2, qb2),
+               facc, val, flag_slot=4, hbm=(False, False, False),
+               sem=None, KR=1, has_ab=True,
+               m0=(fl & 2) != 0, d0=(fl & 8) != 0,
+               um=(fl & 64) != 0, ud=(fl & 128) != 0)
+
+
+def _ab_call(cnt, hs, hsl, hd, ev1, bidx, bcn, diag_b, val, SMT, GT,
+             TZ, facc, mbc, *, n, E, W8, WN, WQ, WV, WI8, H, C1, CB8,
+             heads, Wt, is_solve):
+    HACC = max(2 * WI8, WN, WV) + 24
+    ACC = max(WN, 2 * WQ + 2, WV) + 24
+    LL = max(H, 8)
+    E8v = val.shape[0]
+    n8 = SMT.shape[0]
+    kern = functools.partial(
+        _ab_kernel, n=n, E=E, W8=W8, WN=WN, WQ=WQ, WV=WV, WI8=WI8,
+        H=H, C1=C1, CB8=CB8, heads=heads, Wt=Wt, is_solve=is_solve)
+    scratch = [
+        pltpu.VMEM((C1, Wt), jnp.int32),      # gat_t
+        pltpu.VMEM((C1, W8), jnp.int32),      # gat_m
+        pltpu.VMEM((C1, W8), jnp.int32),      # gat_a (unused, pass1)
+        pltpu.VMEM((C1, Wt), jnp.int32),      # gat_b (unused, pass1)
+        pltpu.VMEM((C1, WI8), jnp.int32),     # gat_g
+        pltpu.VMEM((C1, 8), jnp.int32),       # gat_z
+        pltpu.VMEM((C1, W8), jnp.int32),      # gat_dm
+        pltpu.VMEM((C1, Wt), jnp.int32),      # scat
+        pltpu.VMEM((W8, C1), jnp.int32),      # mT1
+        pltpu.VMEM((Wt, C1), jnp.int32),      # bT1
+        pltpu.VMEM((WQ, C1), jnp.int32),      # iT1
+        pltpu.VMEM((ACC, C1), jnp.int32),     # acc0a
+        pltpu.VMEM((ACC, C1), jnp.int32),     # acc1a
+        pltpu.VMEM((WN, C1), jnp.int32),      # pA1
+        pltpu.VMEM((WN, C1), jnp.int32),      # pB1
+        pltpu.VMEM((WN, C1), jnp.int32),      # qb1
+        pltpu.VMEM((LL, W8), jnp.int32),      # hgx
+        pltpu.VMEM((LL, W8), jnp.int32),      # hgm
+        pltpu.VMEM((LL, WI8), jnp.int32),     # hgi
+        pltpu.VMEM((LL, 8), jnp.int32),       # hgz
+        pltpu.VMEM((LL, W8), jnp.int32),      # hgv
+        pltpu.VMEM((W8, LL), jnp.int32),      # hmT
+        pltpu.VMEM((WQ, LL), jnp.int32),      # hiT
+        pltpu.VMEM((W8, LL), jnp.int32),      # hbT
+        pltpu.VMEM((WN, LL), jnp.int32),      # nbuf
+        pltpu.VMEM((WQ, LL), jnp.int32),      # Rbuf
+        pltpu.VMEM((HACC, LL), jnp.int32),    # lacc0
+        pltpu.VMEM((HACC, LL), jnp.int32),    # lacc1
+        pltpu.VMEM((WI8, LL), jnp.int32),     # ld
+        pltpu.VMEM((WI8, LL), jnp.int32),     # lx
+        pltpu.VMEM((WI8, LL), jnp.int32),     # lu
+        pltpu.VMEM((1, LL), jnp.int32),       # ltz
+    ]
+    out = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((E8v, Wt), jnp.int32),    # val
+            jax.ShapeDtypeStruct((n8, W8), jnp.int32),     # SMT
+            jax.ShapeDtypeStruct((n8, WI8), jnp.int32),    # GT
+            jax.ShapeDtypeStruct((n8, 8), jnp.int32),      # TZ
+            jax.ShapeDtypeStruct((8, 128), jnp.int32),     # facc
+            jax.ShapeDtypeStruct((CB8, Wt), jnp.int32),    # bc_out
+        ),
+        in_specs=[
+            _smem((1, 4)), _smem((1, H)), _smem((1, H)), _smem((1, H)),
+            _smem((1, C1, 5)), _smem((1, CB8)), _smem((1, 1)),
+            _vmem((max(H, 8), Wt)),
+            _vmem((E8v, Wt)), _vmem((n8, W8)), _vmem((n8, WI8)),
+            _vmem((n8, 8)), _vmem((8, 128)), _vmem((1, CB8)),
+        ],
+        out_specs=(
+            _vmem((E8v, Wt)), _vmem((n8, W8)), _vmem((n8, WI8)),
+            _vmem((n8, 8)), _vmem((8, 128)), _vmem((CB8, Wt)),
+        ),
+        input_output_aliases={8: 0, 9: 1, 10: 2, 11: 3, 12: 4},
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(cnt[None], hs[None], hsl[None], hd[None], ev1[None],
+      bidx[None], bcn[None, None], diag_b, val, SMT, GT, TZ, facc,
+      mbc[None])
+    return out
+
+
+def _c_call(cnt, ev2, bidx, bcn, bc, a_src, SMT, GT, TZ, val, facc,
+            *, n, E, W8, WN, WQ, WV, WI8, C2, Wt, is_solve):
+    ACC = max(WN, 2 * WQ + 2, WV) + 24
+    E8v = val.shape[0]
+    n8 = SMT.shape[0]
+    CB8 = bc.shape[0]
+    kern = functools.partial(
+        _c_kernel, n=n, E=E, W8=W8, WN=WN, WQ=WQ, WV=WV, WI8=WI8,
+        C2=C2, Wt=Wt, is_solve=is_solve)
+    scratch = [
+        pltpu.VMEM((C2, Wt), jnp.int32),      # gat_t
+        pltpu.VMEM((C2, W8), jnp.int32),      # gat_m
+        pltpu.VMEM((C2, W8), jnp.int32),      # gat_a
+        pltpu.VMEM((C2, Wt), jnp.int32),      # gat_b
+        pltpu.VMEM((C2, WI8), jnp.int32),     # gat_g
+        pltpu.VMEM((C2, 8), jnp.int32),       # gat_z
+        pltpu.VMEM((C2, W8), jnp.int32),      # gat_dm
+        pltpu.VMEM((C2, Wt), jnp.int32),      # scat
+        pltpu.VMEM((W8, C2), jnp.int32),      # mT2
+        pltpu.VMEM((Wt, C2), jnp.int32),      # bT2
+        pltpu.VMEM((WQ, C2), jnp.int32),      # iT2
+        pltpu.VMEM((ACC, C2), jnp.int32),     # acc0b
+        pltpu.VMEM((ACC, C2), jnp.int32),     # acc1b
+        pltpu.VMEM((WN, C2), jnp.int32),      # pA2
+        pltpu.VMEM((WN, C2), jnp.int32),      # pB2
+        pltpu.VMEM((WN, C2), jnp.int32),      # qb2
+    ]
+    out = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((E8v, Wt), jnp.int32),    # val
+            jax.ShapeDtypeStruct((8, 128), jnp.int32),     # facc
+        ),
+        in_specs=[
+            _smem((1, 4)), _smem((1, C2, 5)), _smem((1, CB8)),
+            _smem((1, 1)),
+            _vmem((CB8, Wt)), _vmem((a_src.shape[0], W8)),
+            _vmem((n8, W8)), _vmem((n8, WI8)), _vmem((n8, 8)),
+            _vmem((E8v, Wt)), _vmem((8, 128)),
+        ],
+        out_specs=(_vmem((E8v, Wt)), _vmem((8, 128))),
+        input_output_aliases={9: 0, 10: 1},
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(cnt[None], ev2[None], bidx[None], bcn[None, None], bc, a_src,
+      SMT, GT, TZ, val, facc)
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "n", "E", "W8", "Ws8", "WN",
+                              "WNS", "WI8", "H", "C1", "C2", "CBf",
+                              "CBs", "nrhs"))
+def fused_sharded_solve(mesh: Mesh, n, E, W8, Ws8, WN, WNS, WI8, H,
+                        C1, C2, CBf, CBs, nrhs,
+                        fhs, fhsl, fhd, f_mdiag, f_cnt, f_ev1, f_ev2,
+                        f_bidx, f_bcnt, f_mbc,
+                        s_cnt, s_ev1, s_ev2, s_bidx, s_bcnt, s_mbc,
+                        xown, val0, X0):
+    """ONE XLA program: sharded factor scan + per-RHS sharded solve
+    scans. Returns a replicated flat int32 vector
+    [fsing, fovf, sovf, det (W8), X (nrhs*n*Ws8)]."""
+    axes = mesh_axes(mesh)
+    E8v = val0.shape[0]
+    n8v = _r8(n + 2)
+    X8 = X0.shape[1]
+    WQ = min(WI8, _r8(W8 + 2))
+    WV = _r8(WQ + W8)
+    WQs = min(WI8, _r8(Ws8 + 2))
+    WVs = _r8(WQs + W8)
+    H8 = max(H, 8)
+
+    def local(fhs, fhsl, fhd, f_mdiag, f_cnt, f_ev1, f_ev2,
+              f_bidx, f_bcnt, f_mbc,
+              s_cnt, s_ev1, s_ev2, s_bidx, s_bcnt, s_mbc,
+              xown, val0, X0):
+        sq = lambda a: a.reshape(a.shape[1:])
+        f_mdiag, f_cnt = sq(f_mdiag), sq(f_cnt)
+        f_ev1, f_ev2, f_mbc = sq(f_ev1), sq(f_ev2), sq(f_mbc)
+        s_cnt, s_ev1, s_ev2, s_mbc = (sq(s_cnt), sq(s_ev1), sq(s_ev2),
+                                      sq(s_mbc))
+        xown = sq(xown)
+        SMT0 = jnp.zeros((n8v, W8), jnp.int32).at[0, 0].set(1)
+        GT0 = jnp.zeros((n8v, WI8), jnp.int32).at[0, 0].set(1)
+        TZ0 = jnp.zeros((n8v, 8), jnp.int32)
+        facc0 = jnp.zeros((8, 128), jnp.int32)
+
+        def fstep(carry, xs):
+            val, SMT, GT, TZ, facc = carry
+            (hs, hsl, hd, mdiag, cnt, e1, e2, bidx, bcnt, mbc) = xs
+            # psum#1: owner-masked current diagonals of this chunk
+            contrib = val[jnp.minimum(hsl, E8v - 1)] * mdiag[:, None]
+            diag_b = lax.psum(contrib, axes)
+            diag_b = jnp.concatenate(
+                [diag_b, jnp.zeros((H8 - H, W8), jnp.int32)]) \
+                if H8 > H else diag_b
+            val, SMT, GT, TZ, facc, bc_loc = _ab_call(
+                cnt, hs, hsl, hd, e1, bidx, bcnt, diag_b,
+                val, SMT, GT, TZ, facc, mbc,
+                n=n, E=E, W8=W8, WN=WN, WQ=WQ, WV=WV, WI8=WI8, H=H,
+                C1=C1, CB8=f_bidx.shape[-1], heads=True, Wt=W8,
+                is_solve=False)
+            bc = lax.psum(bc_loc, axes)
+            val, facc = _c_call(
+                cnt, e2, bidx, bcnt, bc, val, SMT, GT, TZ, val, facc,
+                n=n, E=E, W8=W8, WN=WN, WQ=WQ, WV=WV, WI8=WI8, C2=C2,
+                Wt=W8, is_solve=False)
+            return (val, SMT, GT, TZ, facc), None
+
+        (val, SMT, GT, TZ, facc), _ = lax.scan(
+            fstep, (val0, SMT0, GT0, TZ0, facc0),
+            (fhs, fhsl, fhd, f_mdiag, f_cnt, f_ev1, f_ev2,
+             f_bidx, f_bcnt, f_mbc))
+        fsing = lax.psum(facc[0, 0], axes)
+        fovf = lax.psum(facc[1, 0], axes)
+        det_row = SMT[n]
+
+        # ---- solve scans (one per RHS) ----
+        souts = []
+        sovf_all = jnp.int32(0)
+        for c in range(nrhs):
+            sfacc0 = jnp.zeros((8, 128), jnp.int32)
+
+            def sstep(carry, xs):
+                X, facc = carry
+                (cnt, e1, e2, bidx, bcnt, mbc) = xs
+                X, _, _, _, facc, bc_loc = _ab_call(
+                    cnt, jnp.zeros((H,), jnp.int32),
+                    jnp.zeros((H,), jnp.int32),
+                    jnp.zeros((H,), jnp.int32),
+                    e1, bidx, bcnt,
+                    jnp.zeros((H8, Ws8), jnp.int32),
+                    X, SMT, GT, TZ, facc, mbc,
+                    n=n, E=E, W8=W8, WN=WNS, WQ=WQs, WV=WVs,
+                    WI8=WI8, H=H, C1=C1, CB8=s_bidx.shape[-1],
+                    heads=False, Wt=Ws8, is_solve=True)
+                bc = lax.psum(bc_loc, axes)
+                X, facc = _c_call(
+                    cnt, e2, bidx, bcnt, bc, val, SMT, GT, TZ, X,
+                    facc, n=n, E=E, W8=W8, WN=WNS, WQ=WQs, WV=WVs,
+                    WI8=WI8, C2=C2, Wt=Ws8, is_solve=True)
+                return (X, facc), None
+
+            (X, sfacc), _ = lax.scan(
+                sstep, (X0[c], sfacc0),
+                (s_cnt, s_ev1, s_ev2, s_bidx, s_bcnt, s_mbc))
+            sovf_all = sovf_all + lax.psum(
+                sfacc[0, 0] + sfacc[1, 0], axes)
+            xfull = lax.psum(X[:n] * xown[:n, None], axes)
+            souts.append(xfull.reshape(-1))
+
+        flags = jnp.stack([fsing, fovf, sovf_all])
+        return jnp.concatenate([flags, det_row] + souts)
+
+    sh = lambda a: P(axes, *([None] * (a - 1)))
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), sh(3), sh(3), sh(4), sh(4),
+                  P(), P(), sh(3),
+                  sh(3), sh(4), sh(4), P(), P(), sh(3),
+                  sh(2), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(fhs, fhsl, fhd, f_mdiag, f_cnt, f_ev1, f_ev2,
+              f_bidx, f_bcnt, f_mbc,
+              s_cnt, s_ev1, s_ev2, s_bidx, s_bcnt, s_mbc,
+              xown, val0, X0)

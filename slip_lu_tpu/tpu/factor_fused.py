@@ -440,6 +440,226 @@ def _pass_body(C, Wt, Wo, W8, WN, WQ, WV, E_dummy,
             lax.fori_loop(0, cnt, swait, 0)
 
 
+def _heads_phase(ks, slots, dvs, anyfix, val, SMT, GT, TZ,
+                 hgx, hgm, hgi, hgz, hgv, hmT, hiT, hbT, nbuf, Rbuf,
+                 lacc0, lacc1, ld, ltz, facc, *,
+                 W8, WN, WQ, WV, WI8, G, hbm=False, hrows=None,
+                 sem=None, KR=1, diag_ext=None):
+    """Phase A: a chunk's pivot heads, batched + chain-refined.
+
+    Head t rides lanes [t*GL, (t+1)*GL). The only sequential content of
+    a chunk's heads is the rho chain itself: head k's history fix
+    multiplies by SMT[k] = rho_{k-1}, produced IN-CHUNK exactly when
+    head k-1 shares the chunk (heads are consecutive ascending steps).
+    Everything else batches:
+      1. gather all head operands (diag, SMT[k], GT/TZ/SMT[dv]);
+      2. ONE speculative batched fix of every fix-head from pre-chunk
+         table state — final for heads whose k-1 is outside the chunk;
+      3. sequential refine of true chain links only (2 muls per link:
+         product with the just-refined rho_{k-1}, short division);
+      4. ONE deferred batched verify of all fixes + flags + table/val
+         writes + lift staging (ld/ltz for _lift_phase).
+    vs a per-head loop (3 sequential full-width muls per fix plus
+    per-head verify/flag/staging overhead) this costs 2 batched +
+    2*links sequential + 1 batched muls per chunk.
+
+    ks/slots/dvs: H traced scalars each (pad step -1). diag_ext, when
+    given, is an [HL8, W8] VMEM ref holding the heads' diagonal rows
+    (the sharded path passes the psum-broadcast diags); otherwise the
+    diag gathers from val (VMEM) or the prefetched hrows (HBM).
+    """
+    H = len(ks)
+    GL = 1 if G == 1 else G
+    HL = H * GL
+    HL8 = max(HL, 8)
+    # ---- 1. batched gathers (per-head row copies). The fix operands
+    # (SMT[k], GT/TZ/SMT[dv]) are only touched by the anyfix-gated
+    # passes below, so skip-only chunks gather nothing but the diag.
+    for t in range(H):
+        k = ks[t]
+
+        @pl.when(k >= 0)
+        def _gd():
+            slot = slots[t]
+            if G == 1:
+                if diag_ext is None and not hbm:
+                    hgx[t:t + 1, :] = val[pl.ds(slot, 1), :]
+            else:
+                if diag_ext is None:
+                    hgx[pl.ds(_mo8(t * G, G), G), :] = \
+                        val[pl.ds(_mo8(slot * G, G), G), :]
+
+        @pl.when((k >= 0) & anyfix)
+        def _g():
+            dv = dvs[t]
+            if G == 1:
+                hgm[t:t + 1, :] = SMT[pl.ds(k, 1), :]
+                hgi[t:t + 1, :] = GT[pl.ds(dv, 1), :]
+                hgz[t:t + 1, :] = TZ[pl.ds(dv, 1), :]
+                hgv[t:t + 1, :] = SMT[pl.ds(dv, 1), :]
+            else:
+                dst = pl.ds(_mo8(t * G, G), G)
+                hgm[dst, :] = SMT[pl.ds(_mo8(k * G, G), G), :]
+                hgi[dst, :] = GT[pl.ds(_mo8(dv * G, G), G), :]
+                hgz[dst, :] = TZ[pl.ds(_mo8(dv * G, G), G), :]
+                hgv[dst, :] = SMT[pl.ds(_mo8(dv * G, G), G), :]
+
+    if diag_ext is not None:
+        xT = diag_ext[:HL8, :].T[:W8]
+    elif hbm:
+        xT = jnp.concatenate(
+            [hrows[k2, :HL8, :] for k2 in range(KR)],
+            axis=1).T[:W8]                       # [W8, HL8]
+    else:
+        xT = hgx[:].T[:W8]
+
+    # per-lane masks from the SMEM head scalars
+    lane = lax.broadcasted_iota(jnp.int32, (1, HL8), 1)
+    live = jnp.zeros((1, HL8), jnp.bool_)
+    fixm = jnp.zeros((1, HL8), jnp.bool_)
+    for t in range(H):
+        blk = (lane >= t * GL) & (lane < (t + 1) * GL)
+        live = live | (blk & (ks[t] >= 0))
+        fixm = fixm | (blk & (ks[t] >= 0) & (dvs[t] != ks[t]))
+
+    # ---- 2. speculative batched fix (pre-chunk table state) ----
+    @pl.when(anyfix)
+    def _spec():
+        hmT[:] = hgm[:].T[:W8]
+        hiT[:] = hgi[:].T[:WQ]
+        tzv = hgz[:].T[0:1]                      # [1, HL8]
+        p1u = pk.mul_mod(xT, hmT, 0, W8, lacc0, lacc1, WN)
+        pos1, neg1 = _signed_terms(p1u, xT, hmT[:], WN)
+        P = pk.carry_normalize(p1u + pos1, 2 * MASK16)
+        num = pk.sub_mod(P, pk.carry_normalize(neg1, 2 * MASK16))
+        nbuf[:] = num
+        shifted = pk.shr_bits(num, tzv, W8)
+        qp = pk.mul_mod(shifted[:WQ], hiT, 0, WQ, lacc0, lacc1, WQ)
+        Rbuf[:] = jnp.where(fixm, qp, pk.sign_extend(xT, WQ))
+
+    @pl.when(~anyfix)
+    def _nofix():
+        Rbuf[:] = pk.sign_extend(xT, WQ)
+
+    # ---- 3. sequential refine of true chain links ----
+    for t in range(1, H):
+        k = ks[t]
+
+        @pl.when((k >= 0) & (dvs[t] != k) & (ks[t - 1] == k - 1))
+        def _link():
+            prev = Rbuf[:W8, (t - 1) * GL:t * GL]    # [W8, GL]
+            if GL == 1:
+                hbT[:] = jnp.broadcast_to(prev, (W8, HL8))
+            else:
+                reps = -(-HL8 // GL)
+                hbT[:] = jnp.concatenate(
+                    [prev] * reps, axis=1)[:, :HL8]
+            p1u = pk.mul_mod(xT, hbT, 0, W8, lacc0, lacc1, WN)
+            pos1, neg1 = _signed_terms(p1u, xT, hbT[:], WN)
+            P = pk.carry_normalize(p1u + pos1, 2 * MASK16)
+            num = pk.sub_mod(P,
+                             pk.carry_normalize(neg1, 2 * MASK16))
+            blk = (lane >= t * GL) & (lane < (t + 1) * GL)
+            nbuf[:] = jnp.where(blk, num, nbuf[:])
+            shifted = pk.shr_bits(num, hgz[:].T[0:1], W8)
+            qp = pk.mul_mod(shifted[:WQ], hiT, 0, WQ, lacc0,
+                            lacc1, WQ)
+            Rbuf[:] = jnp.where(blk, qp, Rbuf[:])
+
+    # ---- 4. deferred batched verify + flags + writes + staging ---
+    @pl.when(anyfix)
+    def _verify():
+        hbT[:] = hgv[:].T[:W8]                   # divisor rows
+        vu = pk.mul_mod(Rbuf[:WQ, :], hbT, 0, W8, lacc0, lacc1, WV)
+        posv, negv = _signed_terms(vu, Rbuf[:WQ, :], hbT[:], WV)
+        v = pk.sub_mod(pk.carry_normalize(vu + posv, 2 * MASK16),
+                       pk.carry_normalize(negv, 2 * MASK16))
+        bad = (~jnp.all(v == pk.sign_extend(nbuf[:], WV), axis=0,
+                        keepdims=True)) & fixm
+        badm = _fold_members(bad.astype(jnp.int32)[:, :HL], HL, G)
+        _facc_or(facc, 1, badm)
+        _facc_or(facc, 2, badm)
+
+    rho = Rbuf[:]
+    zer = pk.is_zero(rho) & live                 # [1, HL8]
+    zm = _fold_members(zer.astype(jnp.int32)[:, :HL], HL, G)
+    _facc_or(facc, 0, zm)
+    hovf = (~pk.fits_in(rho, W8)) & live
+    om = _fold_members(hovf.astype(jnp.int32)[:, :HL], HL, G)
+    _facc_or(facc, 1, om)
+    _facc_or(facc, 2, om)
+    rho_w = jnp.where(zer, _one_residue(W8, HL8), rho[:W8])
+    rows_all = rho_w.T                           # [HL8, W8]
+    for t in range(H):
+        k = ks[t]
+
+        @pl.when(k >= 0)
+        def _wr():
+            slot = slots[t]
+            if G == 1:
+                row = rows_all[t:t + 1, :]
+                SMT[pl.ds(k + 1, 1), :] = row
+                if hbm:
+                    rw = jnp.concatenate(
+                        [row, jnp.zeros((1, 128 * KR - W8),
+                                        jnp.int32)], axis=1)
+                    for k2 in range(KR):
+                        hrows[k2, t:t + 1, :] = \
+                            rw[:, 128 * k2:128 * (k2 + 1)]
+                    _scatter_row(hrows, t, val, slot, KR, sem)
+                else:
+                    val[pl.ds(slot, 1), :] = row
+            else:
+                rows = rows_all[t * G:(t + 1) * G, :]
+                SMT[pl.ds(_mo8((k + 1) * G, G), G), :] = rows
+                val[pl.ds(_mo8(slot * G, G), G), :] = rows
+    # stage for the batched Hensel lift (lanes already head-major)
+    tzr = pk.trailing_zero_bits(rho_w)           # [1, HL8]
+    odd = pk.shr_bits(pk.sign_extend(rho_w, WI8), tzr, W8)
+    ld[:] = jnp.where(live, odd, ld[:])
+    ltz[:] = jnp.where(live, tzr, ltz[:])
+
+
+def _lift_phase(ks, GT, TZ, ld, lx, lu, ltz, lacc0, lacc1, *, WI8, G):
+    """Phase A2: batched Hensel lift of the chunk's new pivot inverses
+    (Newton doubling over the staged odd parts in ld) + GT/TZ writes."""
+    H = len(ks)
+    LL = ld.shape[1]
+    x = pk.inv16(ld[0:1, :])
+    w = 1
+    while w < WI8:
+        w2 = min(2 * w, WI8)
+        lx[:] = pk._cat([x, jnp.zeros((WI8 - x.shape[0], LL),
+                                      jnp.int32)])
+        tprod = pk.mul_mod(ld[:w2, :], lx, 0, w, lacc0, lacc1, w2)
+        u = pk.two_minus_mod(tprod)
+        lu[:] = pk._cat([u, jnp.zeros((WI8 - w2, LL), jnp.int32)])
+        x = pk.mul_mod(
+            pk._cat([x, jnp.zeros((w2 - x.shape[0], LL),
+                                  jnp.int32)]),
+            lu, 0, w2, lacc0, lacc1, w2)
+        w = w2
+    invT = pk._cat(
+        [x, jnp.zeros((WI8 - x.shape[0], LL),
+                      jnp.int32)]).T                # [LL, WI8]
+    tzT = ltz[:].T                                  # [LL, 1]
+    for t in range(H):
+        k = ks[t]
+
+        @pl.when(k >= 0)
+        def _write_gt():
+            if G == 1:
+                GT[pl.ds(k + 1, 1), :] = invT[t:t + 1, :]
+                TZ[pl.ds(k + 1, 1), :] = jnp.broadcast_to(
+                    tzT[t:t + 1, :], (1, 8))
+            else:
+                GT[pl.ds(_mo8((k + 1) * G, G), G), :] = \
+                    invT[t * G:(t + 1) * G, :]
+                TZ[pl.ds(_mo8((k + 1) * G, G), G), :] = \
+                    jnp.broadcast_to(tzT[t * G:(t + 1) * G, :],
+                                     (G, 8))
+
+
 def _factor_kernel(h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
                    *rest, n, E, W8, WN, WQ, WV, WI8, H, C1, C2, hbm, KR,
                    first, G=1):
@@ -458,9 +678,9 @@ def _factor_kernel(h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
     (gat_t, gat_m, gat_a, gat_b, gat_g, gat_z, gat_dm, scat,
      mT1, bT1, iT1, acc0a, acc1a, pA1, pB1, qb1,
      mT2, bT2, iT2, acc0b, acc1b, pA2, pB2, qb2,
-     hm, hi, hr, hacc0, hacc1, lacc0, lacc1,
-     ld, lx, lu, ltz, facc) = scratch[:36]
-    extra = scratch[36:]
+     hgx, hgm, hgi, hgz, hgv, hmT, hiT, hbT, nbuf, Rbuf,
+     lacc0, lacc1, ld, lx, lu, ltz, facc) = scratch[:41]
+    extra = scratch[41:]
     if hbm:
         hrows, sem = extra
     else:
@@ -469,8 +689,9 @@ def _factor_kernel(h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
     i = pl.program_id(0)
     # member-lane batching (G > 1): logical row r of every table is
     # stored as G member rows r*G + g; heads/lift lanes carry members
-    GH = 8 if G == 1 else G         # head compute lanes
-    GL = 1 if G == 1 else G         # lift lanes per head
+    GL = 1 if G == 1 else G         # head/lift lanes per head
+    HL = H * GL                     # live head lanes (head t at t*GL+g)
+    HL8 = max(HL, 8)
 
     @pl.when(i == 0)
     def _init():
@@ -500,7 +721,22 @@ def _factor_kernel(h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
 
     any_heads = cnts[0, 0, 0] > 0
 
-    # ---------------- phase A: sequential pivot heads ----------------
+    # ---------------- phase A: pivot heads (batched + chain refine) ---
+    # Head t rides lanes [t*GL, (t+1)*GL). The only sequential content
+    # of a chunk's heads is the rho chain itself: head k's history fix
+    # multiplies by SMT[k] = rho_{k-1}, which is produced IN-CHUNK
+    # exactly when head k-1 shares the chunk (heads are consecutive
+    # ascending steps). Everything else batches:
+    #   1. gather all head operands (diag, SMT[k], GT/TZ/SMT[dv]);
+    #   2. ONE speculative batched fix of every fix-head from pre-chunk
+    #      table state — final for heads whose k-1 is outside the chunk;
+    #   3. sequential refine of true chain links only (2 muls per link:
+    #      product with the just-refined rho_{k-1}, short division);
+    #   4. ONE deferred batched verify of all fixes + flags + table/val
+    #      writes + lift staging.
+    # vs the previous per-head loop (3 sequential full-width muls per
+    # fix plus per-head verify/flag/staging overhead) this costs
+    # 2 batched + 2*links sequential + 1 batched muls per chunk.
     @pl.when(any_heads)
     def _heads_init():
         ld[:] = jnp.zeros_like(ld)
@@ -509,7 +745,7 @@ def _factor_kernel(h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
 
     if hbm:
         # prefetch every head's diagonal row (distinct slots by
-        # construction), then compute sequentially
+        # construction)
         for t in range(H):
             @pl.when(h_step[0, 0, t] >= 0)
             def _hg():
@@ -520,99 +756,18 @@ def _factor_kernel(h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
                 _gather_row(val, h_slot[0, 0, t], hrows, t, KR, sem,
                             wait=True)
 
-    for t in range(H):
-        k = h_step[0, 0, t]
+    ks = [h_step[0, 0, t] for t in range(H)]
+    slots = [h_slot[0, 0, t] for t in range(H)]
+    dvs = [h_div[0, 0, t] for t in range(H)]
 
-        @pl.when(k >= 0)
-        def _head():
-            slot = h_slot[0, 0, t]
-            dv = h_div[0, 0, t]
-            if hbm:
-                drow = jnp.concatenate(
-                    [hrows[k2, t:t + 1, :] for k2 in range(KR)], axis=1)
-                dcol = _col_of_row(drow, W8)                    # [W8, 8]
-            elif G == 1:
-                dcol = _col_of_row(val[pl.ds(slot, 1), :], W8)
-            else:
-                dcol = val[pl.ds(_mo8(slot * G, G), G),
-                           :].T[:W8]                            # [W8, G]
-            hr[:] = pk.sign_extend(dcol, WQ)
-
-            # history fix of the diagonal — skipped when its last update
-            # already brought it to level k-1 (dv == k: multiply and
-            # divide by the same rho_{k-1}, an identity). Division runs
-            # at the short modulus WQ + verification, exactly like the
-            # batched passes (see _pass_body docstring).
-            @pl.when(dv != k)
-            def _fix():
-                if G == 1:
-                    hm[:] = _col_of_row(SMT[pl.ds(k, 1), :], W8)
-                    hi[:] = _col_of_row(GT[pl.ds(dv, 1), :], WQ)
-                    tzv = TZ[pl.ds(dv, 1), :]                   # [1, 8]
-                else:
-                    hm[:] = SMT[pl.ds(_mo8(k * G, G), G),
-                                :].T[:W8]
-                    hi[:] = GT[pl.ds(_mo8(dv * G, G), G),
-                               :].T[:WQ]
-                    tzv = TZ[pl.ds(_mo8(dv * G, G), G),
-                             0:1].T                             # [1, G]
-                p1u = pk.mul_mod(dcol, hm, 0, W8, hacc0, hacc1, WN)
-                pos1, neg1 = _signed_terms(p1u, dcol, hm[:], WN)
-                P = pk.carry_normalize(p1u + pos1, 2 * MASK16)
-                num = pk.sub_mod(P, pk.carry_normalize(neg1, 2 * MASK16))
-                shifted = pk.shr_bits(num, tzv, W8)
-                qp = pk.mul_mod(shifted[:WQ], hi, 0, WQ, hacc0, hacc1,
-                                WQ)
-                if G == 1:
-                    hm[:] = _col_of_row(SMT[pl.ds(dv, 1), :], W8)
-                else:
-                    hm[:] = SMT[pl.ds(_mo8(dv * G, G), G),
-                                :].T[:W8]
-                vu = pk.mul_mod(qp, hm, 0, W8, hacc0, hacc1, WV)
-                posv, negv = _signed_terms(vu, qp, hm[:], WV)
-                v = pk.sub_mod(
-                    pk.carry_normalize(vu + posv, 2 * MASK16),
-                    pk.carry_normalize(negv, 2 * MASK16))
-                bad = (~jnp.all(v == pk.sign_extend(num, WV), axis=0,
-                                keepdims=True)).astype(jnp.int32)
-                _facc_or(facc, 1, bad[:, :GL])
-                _facc_or(facc, 2, bad[:, :GL])
-                hr[:] = qp
-
-            rho = hr[:]
-            zer = pk.is_zero(rho)                               # [1, GH]
-            _facc_or(facc, 0, zer.astype(jnp.int32)[:, :GL])
-            hovf = (~pk.fits_in(rho, W8)).astype(jnp.int32)
-            _facc_or(facc, 1, hovf[:, :GL])
-            _facc_or(facc, 2, hovf[:, :GL])
-            rho_w = jnp.where(zer, _one_residue(W8, GH), rho[:W8])
-            row = rho_w.T                                       # [GH, W8]
-            if G == 1:
-                SMT[pl.ds(k + 1, 1), :] = row[0:1, :]
-            else:
-                SMT[pl.ds(_mo8((k + 1) * G, G), G), :] = row
-            if hbm:
-                rw = pk._cat([rho_w, jnp.zeros((128 * KR - W8, 8),
-                                               jnp.int32)]).T  # [8, WH]
-                for k2 in range(KR):
-                    hrows[k2, t:t + 1, :] = rw[0:1,
-                                               128 * k2:128 * (k2 + 1)]
-                _scatter_row(hrows, t, val, slot, KR, sem)
-            elif G == 1:
-                val[pl.ds(slot, 1), :] = row[0:1, :]
-            else:
-                val[pl.ds(_mo8(slot * G, G), G), :] = row
-            # stage for the batched Hensel lift (lanes t*GL..(t+1)*GL of
-            # the lift scratch): odd part + trailing zero count
-            tzr = pk.trailing_zero_bits(rho_w)                  # [1, GH]
-            odd = pk.shr_bits(pk.sign_extend(rho_w, WI8), tzr, W8)
-            LL = ld.shape[1]
-            lane = lax.broadcasted_iota(jnp.int32, (1, LL), 1)
-            sel = (lane >= t * GL) & (lane < (t + 1) * GL)
-            odd_t = jnp.concatenate([odd[:, :GL]] * (LL // GL), axis=1)
-            tzr_t = jnp.concatenate([tzr[:, :GL]] * (LL // GL), axis=1)
-            ld[:] = jnp.where(sel, odd_t, ld[:])
-            ltz[:] = jnp.where(sel, tzr_t, ltz[:])
+    @pl.when(any_heads)
+    def _heads():
+        _heads_phase(ks, slots, dvs, (cnts[0, 0, 3] & 256) != 0,
+                     val, SMT, GT, TZ,
+                     hgx, hgm, hgi, hgz, hgv, hmT, hiT, hbT, nbuf,
+                     Rbuf, lacc0, lacc1, ld, ltz, facc,
+                     W8=W8, WN=WN, WQ=WQ, WV=WV, WI8=WI8, G=G,
+                     hbm=hbm, hrows=hrows, sem=sem, KR=KR)
 
     if hbm:
         # pivot writes must land before the passes gather them
@@ -625,40 +780,8 @@ def _factor_kernel(h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
     # ---------------- phase A2: batched Hensel lift -------------------
     @pl.when(any_heads)
     def _lift():
-        LL = ld.shape[1]
-        x = pk.inv16(ld[0:1, :])
-        w = 1
-        while w < WI8:
-            w2 = min(2 * w, WI8)
-            lx[:] = pk._cat([x, jnp.zeros((WI8 - x.shape[0], LL),
-                                          jnp.int32)])
-            tprod = pk.mul_mod(ld[:w2, :], lx, 0, w, lacc0, lacc1, w2)
-            u = pk.two_minus_mod(tprod)
-            lu[:] = pk._cat([u, jnp.zeros((WI8 - w2, LL), jnp.int32)])
-            x = pk.mul_mod(
-                pk._cat([x, jnp.zeros((w2 - x.shape[0], LL),
-                                      jnp.int32)]),
-                lu, 0, w2, lacc0, lacc1, w2)
-            w = w2
-        invT = pk._cat(
-            [x, jnp.zeros((WI8 - x.shape[0], LL),
-                          jnp.int32)]).T                # [LL, WI8]
-        tzT = ltz[:].T                                  # [LL, 1]
-        for t in range(H):
-            k = h_step[0, 0, t]
-
-            @pl.when(k >= 0)
-            def _write_gt():
-                if G == 1:
-                    GT[pl.ds(k + 1, 1), :] = invT[t:t + 1, :]
-                    TZ[pl.ds(k + 1, 1), :] = jnp.broadcast_to(
-                        tzT[t:t + 1, :], (1, 8))
-                else:
-                    GT[pl.ds(_mo8((k + 1) * G, G), G), :] = \
-                        invT[t * G:(t + 1) * G, :]
-                    TZ[pl.ds(_mo8((k + 1) * G, G), G), :] = \
-                        jnp.broadcast_to(tzT[t * G:(t + 1) * G, :],
-                                         (G, 8))
+        _lift_phase(ks, GT, TZ, ld, lx, lu, ltz, lacc0, lacc1,
+                    WI8=WI8, G=G)
 
     # ---------------- phases B and C: the two batched passes ----------
     vh = (hbm, hbm, hbm)
@@ -710,6 +833,10 @@ def factor_fused(n, E, W8, WN, WI8, H, C1, C2,
                       and H * G <= 128
                       and C1 * G <= 1024 and C2 * G <= 1024)
     assert C1 & (C1 - 1) == 0 and C2 & (C2 - 1) == 0
+    # the batched head phase folds its per-lane flags down to members
+    # by lane halving, which needs heads-per-chunk to be a power of two
+    # (head t rides lanes [t*GL, (t+1)*GL), GL = 1 or G)
+    assert H & (H - 1) == 0 and H * (1 if G == 1 else G) <= 128
     E8 = _r8(E + 1)
     n8 = _r8(n + 2) if G == 1 else (n + 2) * G
     KR = val_in.shape[0] // E8 if hbm else 1
@@ -718,8 +845,9 @@ def factor_fused(n, E, W8, WN, WI8, H, C1, C2,
     WV = _r8(WQ + W8)               # verification modulus (>= WQ + W8)
     ACC = max(WN, 2 * WQ + 2, WV) + 24
     HACC = max(2 * WI8, WN, WV) + 24
-    GH = 8 if G == 1 else G         # head lanes
-    LL = max(H, 8) if G == 1 else H * G   # lift lanes
+    # head/lift lanes: head t at lanes [t*GL, (t+1)*GL), min 8 lanes
+    # (must equal the kernel's HL8 = max(H*GL, 8))
+    LL = max(H * (1 if G == 1 else G), 8)
     C1G, C2G = C1 * G, C2 * G
     kern = functools.partial(
         _factor_kernel, n=n, E=E, W8=W8, WN=WN, WQ=WQ, WV=WV, WI8=WI8,
@@ -753,11 +881,16 @@ def factor_fused(n, E, W8, WN, WI8, H, C1, C2,
         pltpu.VMEM((WN, C2G), jnp.int32),     # pA2
         pltpu.VMEM((WN, C2G), jnp.int32),     # pB2
         pltpu.VMEM((WN, C2G), jnp.int32),     # qb2
-        pltpu.VMEM((W8, GH), jnp.int32),      # hm
-        pltpu.VMEM((WQ, GH), jnp.int32),      # hi
-        pltpu.VMEM((WQ, GH), jnp.int32),      # hr
-        pltpu.VMEM((HACC, GH), jnp.int32),    # hacc0
-        pltpu.VMEM((HACC, GH), jnp.int32),    # hacc1
+        pltpu.VMEM((LL, W8), jnp.int32),      # hgx (diag rows)
+        pltpu.VMEM((LL, W8), jnp.int32),      # hgm (SMT[k])
+        pltpu.VMEM((LL, WI8), jnp.int32),     # hgi (GT[dv])
+        pltpu.VMEM((LL, 8), jnp.int32),       # hgz (TZ[dv])
+        pltpu.VMEM((LL, W8), jnp.int32),      # hgv (SMT[dv])
+        pltpu.VMEM((W8, LL), jnp.int32),      # hmT
+        pltpu.VMEM((WQ, LL), jnp.int32),      # hiT
+        pltpu.VMEM((W8, LL), jnp.int32),      # hbT
+        pltpu.VMEM((WN, LL), jnp.int32),      # nbuf (nums for verify)
+        pltpu.VMEM((WQ, LL), jnp.int32),      # Rbuf (head rhos)
         pltpu.VMEM((HACC, LL), jnp.int32),    # lacc0
         pltpu.VMEM((HACC, LL), jnp.int32),    # lacc1
         pltpu.VMEM((WI8, LL), jnp.int32),     # ld

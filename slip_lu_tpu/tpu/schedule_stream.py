@@ -231,6 +231,11 @@ class _ChunkBuilder:
                 flags |= 64
             if p2 and all(e[2] == p2[0][2] for e in p2):
                 flags |= 128
+            # bit 8: some head needs a history fix (dv != k) — the
+            # kernel's batched speculative-fix/verify passes are gated
+            # on this so skip-only chunks pay no head arithmetic
+            if any(d != k for k, _, d in h):
+                flags |= 256
             counts[c] = (len(h), len(p1), len(p2), flags)
             used += len(p1) + len(p2)
             # a head at step k writes rho_k (level k); an event with
