@@ -79,7 +79,7 @@ def _ab_kernel(cnt, hs, hsl, hd, ev1, bidx, bcn, diag_b,
 
         @pl.when(any_heads)
         def _h():
-            _heads_phase(ks, slots, dvs, (fl & 256) != 0,
+            _heads_phase(ks, slots, dvs, cnt[0, 0], (fl & 256) != 0,
                          val, SMT, GT, TZ,
                          hgx, hgm, hgi, hgz, hgv, hmT, hiT, hbT,
                          nbuf, Rbuf, lacc0, lacc1, ld, ltz, facc,

@@ -49,13 +49,23 @@ from .schedule_native import build_schedule_best
 from .schedule_stream import build_event_stream
 
 
+def _ev2d(ev):
+    """[nc, C, 5] -> field-major [nc, 5, C]. The event-minor layout
+    tiles its 5-wide minor dim to 128 lanes on device (25x memory —
+    at 1M nnz that alone exceeds HBM); field-major tiles 5 -> 8
+    sublanes instead (1.6x)."""
+    return np.ascontiguousarray(ev.transpose(0, 2, 1))
+
+
 def _stream_arrays(es):
     f, s = es.factor, es.solve
+    fhm = np.concatenate([f.h_step, f.h_slot, f.h_div, f.counts],
+                         axis=1).astype(np.int32)
     return (
-        jnp.asarray(f.h_step), jnp.asarray(f.h_slot),
-        jnp.asarray(f.h_div), jnp.asarray(f.counts),
-        jnp.asarray(f.ev1), jnp.asarray(f.ev2),
-        jnp.asarray(s.counts), jnp.asarray(s.ev1), jnp.asarray(s.ev2),
+        jnp.asarray(fhm), jnp.asarray(_ev2d(f.ev1)),
+        jnp.asarray(_ev2d(f.ev2)),
+        jnp.asarray(s.counts), jnp.asarray(_ev2d(s.ev1)),
+        jnp.asarray(_ev2d(s.ev2)),
     )
 
 
@@ -177,9 +187,10 @@ def _auto_capacities(sched, n: int):
     (grid24 at C2=512: 147 ms vs 108 ms at 128), and SMALLER
     capacities split chunks without making any op cheaper (tri1000 at
     C1=8/C2=32: 333 ms vs 240 ms at 32/128 — every extra chunk pays
-    the fixed head/gather/carry overhead). Kept as a hook for stream
-    shapes that may want different trade-offs later."""
-    return 32, 128
+    the fixed head/gather/carry overhead). SLIP_FUSED_C1/SLIP_FUSED_C2
+    override for experiments (powers of two)."""
+    return (int(os.environ.get("SLIP_FUSED_C1", 32)),
+            int(os.environ.get("SLIP_FUSED_C2", 128)))
 
 
 def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
@@ -237,8 +248,7 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
                 analysis.fused_cache = (key, (sched, r, es, dev_streams,
                                               avals))
         st.lnz, st.unz = es.lnz, es.unz
-        (h_step, h_slot, h_div, fcnt, fev1, fev2,
-         scnt, sev1, sev2) = dev_streams
+        (fhm, fev1, fev2, scnt, sev1, sev2) = dev_streams
         E = es.nnz
 
         # --- width strategy: optimistic start + sound widen-and-retry --
@@ -306,9 +316,25 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
             WI8 = _r8(max(W8, Ws8) + 2)   # GT width: verified short
             #                                 division (factor_fused)
             st.W, st.Ws = W8, Ws8
+            # packed-tables mode: three separate VMEM rho tables pad
+            # every row to 128 lanes, so at large n they exceed VMEM
+            # (130K rows x 128 lanes x 3 tables = 190MB); when the
+            # widths fit one row (W8 + WI8 + 1 <= 128) they fuse into
+            # a single [n8, 128] table instead (factor_fused._pass_body
+            # docstring). Runs single-segment (widths are small here).
+            n8v = _r8(n + 2)
+            tpk_budget = int(os.environ.get("SLIP_TPK_BUDGET",
+                                            64 * 2**20))
+            tpk = (n8v * 128 * 4 * 3 > tpk_budget)
+            if tpk and W8 + WI8 + 1 > 128:
+                raise SlipLimbOverflowError(
+                    f"rho tables for n={n} exceed VMEM and widths "
+                    f"(W8={W8}, WI8={WI8}) are too wide to pack — "
+                    "matrix out of single-chip range")
             if segplan is None:
                 segplan = plan_segments(es.factor.max_level, n, W,
-                                        Wmin_in)
+                                        Wmin_in) if not tpk \
+                    else [[0, len(es.factor.max_level), W8]]
             segments = _merged(segplan)
             segplan = [list(s) for s in segments]
             S = len(segments)
@@ -345,7 +371,9 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
             if ssegplan is None:
                 ssegplan = plan_segments(es.solve.max_level, n,
                                          max(Ws, W + 1),
-                                         max(Wmin_in, Wb + 1))
+                                         max(Wmin_in, Wb + 1)) \
+                    if not tpk \
+                    else [[0, len(es.solve.max_level), Ws8]]
             for sp in ssegplan:
                 sp[2] = min(max(sp[2], _r8(Wb + 1)), Ws8)
             ssegplan[-1][2] = Ws8
@@ -359,10 +387,10 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
                     flat = np.asarray(jax.device_get(fused_solve_all(
                         n, E, W8, Ws8, WN, WNS, WI8, heads_per_chunk,
                         p1, p2,
-                        h_step, h_slot, h_div, fcnt, fev1, fev2,
+                        fhm, fev1, fev2,
                         scnt, sev1, sev2, val_dev, jnp.asarray(b_rows),
                         hbm=hbm_mode, segments=segments,
-                        ssegments=ssegments)))
+                        ssegments=ssegments, tpk=tpk)))
                 except jax.errors.JaxRuntimeError as e:
                     # a width rung too wide to COMPILE (tables overflow
                     # scoped VMEM) is ladder exhaustion, not a crash:
@@ -388,8 +416,8 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
             # lanes of one solve-stream run whenever the (final
             # segment's) value table is VMEM-resident — mirror its
             # rhs_lanes rule to read the flat layout back
-            rhs_lanes = nrhs > 1 and not val_table_in_hbm(
-                E8, segments[-1][2])
+            rhs_lanes = (nrhs > 1 and not tpk
+                         and not val_table_in_hbm(E8, segments[-1][2]))
             if rhs_lanes:
                 R8 = lane_group(nrhs)
                 for s in range(Ss):
@@ -684,8 +712,7 @@ def _fused_many_group(As, analysis, bzs, bs, options, heads_per_chunk,
             dev_streams = _stream_arrays(es)
             analysis.fused_many_sched_cache = (key, (sched, r, es,
                                                      dev_streams))
-        (h_step, h_slot, h_div, fcnt, fev1, fev2,
-         scnt, sev1, sev2) = dev_streams
+        (fhm, fev1, fev2, scnt, sev1, sev2) = dev_streams
         avals_g = []
         for A in As:
             Aq = _permute_cols(A, q)
@@ -781,7 +808,7 @@ def _fused_many_group(As, analysis, bzs, bs, options, heads_per_chunk,
             flat = np.asarray(jax.device_get(fused_solve_many(
                 n, E, W8, Ws8, WN, WNS, WI8, heads_per_chunk,
                 pass1_events, pass2_events, G,
-                h_step, h_slot, h_div, fcnt, fev1, fev2,
+                fhm, fev1, fev2,
                 scnt, sev1, sev2, vstack, jnp.asarray(b_stack),
                 hbm=False, segments=segments)))
         # G-aware flat layout (fused_solve_all docstring):

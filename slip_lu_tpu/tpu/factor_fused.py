@@ -185,8 +185,11 @@ def _pass_body(C, Wt, Wo, W8, WN, WQ, WV, E_dummy,
                conv, facc, b_src_ref, flag_slot=1,
                hbm=(False, False, False), sem=None, KR=1,
                has_ab=True, m0=None, d0=None,
-               G=1, a_g=True, tab_g=True, um=None, ud=None):
+               G=1, a_g=True, tab_g=True, um=None, ud=None,
+               tpk=False, TO_G=0, TO_Z=0, KRT=None):
     mT, bT, iT, acc0, acc1, pA, pB, qb = conv
+    if KRT is None:
+        KRT = KR                     # target/b row width = a row width
     """One batched pass: gather -> fix/update formula -> scatter.
 
     Wt: limb width of target rows (W8 for factor, Ws8 for solve);
@@ -238,8 +241,20 @@ def _pass_body(C, Wt, Wo, W8, WN, WQ, WV, E_dummy,
     (categories: 0 sing, 1 any-ovf, 2 heads, 3 pass1, 4 pass2).
     G > 1 requires all-VMEM tables (the drivers fall back per member
     when the value table must live in HBM).
+
+    PACKED TABLES (tpk=True, G == 1 only): for large n with small
+    widths, three separate VMEM tables each pad their rows to 128
+    lanes (a [n8, 8] TZ costs as much as a [n8, 128]); when
+    W8 + WI8 + 1 <= 128 they fuse into ONE [n8, 128] table instead —
+    lanes [0, W8) = SMT row, [TO_G, TO_G+WI8) = GT row, lane TO_Z = tz
+    — passed as SMT_ref = GT_ref = TZ_ref. One row gather then serves
+    the div side's inverse, tz, AND verify divisor together (2 gathers
+    per event instead of 4), and the table footprint drops 3x, which
+    is what fits 100K-row tables (1M-nnz solves) in VMEM at all.
     """
     t_hbm, a_hbm, b_hbm = hbm
+    if tpk:
+        assert G == 1 and tab_g
     CL = C * G
     # uniform mult/div shortcut (builder flag bits 4-7): one shared
     # table row broadcasts to all lanes instead of per-event gathers.
@@ -271,9 +286,9 @@ def _pass_body(C, Wt, Wo, W8, WN, WQ, WV, E_dummy,
         _tab_copy = _memb_copy if tab_g else _shared_copy
 
         def gissue(e, _):
-            t = ev_ref[0, e, 0]
-            m_ = ev_ref[0, e, 1]
-            d_ = ev_ref[0, e, 2]
+            t = ev_ref[0, 0, e]
+            m_ = ev_ref[0, 1, e]
+            d_ = ev_ref[0, 2, e]
 
             @pl.when(~umv)
             def _gm():
@@ -281,16 +296,20 @@ def _pass_body(C, Wt, Wo, W8, WN, WQ, WV, E_dummy,
 
             @pl.when(~udv)
             def _gd():
-                _tab_copy(gat_g, GT_ref, e, d_)
-                _tab_copy(gat_z, TZ_ref, e, d_)
-                _tab_copy(gat_dm, SMT_ref, e, d_)
+                if tpk:
+                    # one packed row = GT + tz + verify divisor
+                    _tab_copy(gat_dm, GT_ref, e, d_)
+                else:
+                    _tab_copy(gat_g, GT_ref, e, d_)
+                    _tab_copy(gat_z, TZ_ref, e, d_)
+                    _tab_copy(gat_dm, SMT_ref, e, d_)
             if t_hbm:
-                _gather_row(tgt_ref, t, gat_t, e, KR, sem)
+                _gather_row(tgt_ref, t, gat_t, e, KRT, sem)
             else:
                 _memb_copy(gat_t, tgt_ref, e, t)
             if has_ab:
-                a_ = ev_ref[0, e, 3]
-                b_ = ev_ref[0, e, 4]
+                a_ = ev_ref[0, 3, e]
+                b_ = ev_ref[0, 4, e]
                 if a_hbm:
                     _gather_row(a_ref, a_, gat_a, e, KR, sem)
                 elif a_g:
@@ -298,7 +317,7 @@ def _pass_body(C, Wt, Wo, W8, WN, WQ, WV, E_dummy,
                 else:
                     _shared_copy(gat_a, a_ref, e, a_)
                 if b_hbm:
-                    _gather_row(b_src_ref, b_, gat_b, e, KR, sem)
+                    _gather_row(b_src_ref, b_, gat_b, e, KRT, sem)
                 else:
                     _memb_copy(gat_b, b_src_ref, e, b_)
             return 0
@@ -307,28 +326,43 @@ def _pass_body(C, Wt, Wo, W8, WN, WQ, WV, E_dummy,
 
         if t_hbm or (has_ab and (a_hbm or b_hbm)):
             def gwait(e, _):
-                t = ev_ref[0, e, 0]
+                t = ev_ref[0, 0, e]
                 if t_hbm:
-                    _gather_row(tgt_ref, t, gat_t, e, KR, sem, wait=True)
+                    _gather_row(tgt_ref, t, gat_t, e, KRT, sem,
+                                wait=True)
                 if has_ab:
-                    a_ = ev_ref[0, e, 3]
-                    b_ = ev_ref[0, e, 4]
+                    a_ = ev_ref[0, 3, e]
+                    b_ = ev_ref[0, 4, e]
                     if a_hbm:
                         _gather_row(a_ref, a_, gat_a, e, KR, sem,
                                     wait=True)
                     if b_hbm:
-                        _gather_row(b_src_ref, b_, gat_b, e, KR, sem,
+                        _gather_row(b_src_ref, b_, gat_b, e, KRT, sem,
                                     wait=True)
                 return 0
 
             lax.fori_loop(0, cnt, gwait, 0)
 
         tT = _planes_T(gat_t, CL, t_hbm)[:Wt]          # [Wt, CL]
-        if ud is None:
+        if tpk:
+            # the packed div row carries inverse, tz, and divisor
+            dT = gat_dm[:CL, :].T                      # [128, CL]
+            if ud is None:
+                iT[:] = dT[TO_G:TO_G + WQ]
+                tz = dT[TO_Z:TO_Z + 1]
+            else:
+                d0r = ev_ref[0, 2, 0]
+                drow = GT_ref[pl.ds(d0r, 1), :]
+                dT_u = jnp.broadcast_to(drow, (CL, 128)).T
+                iT[:] = jnp.where(ud, dT_u[TO_G:TO_G + WQ],
+                                  dT[TO_G:TO_G + WQ])
+                tz = jnp.where(ud, dT_u[TO_Z:TO_Z + 1],
+                               dT[TO_Z:TO_Z + 1])
+        elif ud is None:
             iT[:] = gat_g[:CL, :].T[:WQ]               # [WQ, CL]
             tz = gat_z[:CL, :].T[0:1]                  # [1, CL]
         else:
-            d0r = ev_ref[0, 0, 2]
+            d0r = ev_ref[0, 2, 0]
             gt_row = GT_ref[pl.ds(d0r, 1), :]
             iT_u = jnp.broadcast_to(gt_row,
                                     (CL, gt_row.shape[1])).T[:WQ]
@@ -346,12 +380,13 @@ def _pass_body(C, Wt, Wo, W8, WN, WQ, WV, E_dummy,
         @pl.when(~m0)
         def _pm1():
             if um is None:
-                mT[:] = gat_m[:CL, :].T                # [W8, CL]
+                mT[:] = gat_m[:CL, :].T[:W8]           # [W8, CL]
             else:
-                m0r = ev_ref[0, 0, 1]
+                m0r = ev_ref[0, 1, 0]
+                mrow = SMT_ref[pl.ds(m0r, 1), :]
                 mT_u = jnp.broadcast_to(
-                    SMT_ref[pl.ds(m0r, 1), :], (CL, W8)).T
-                mT[:] = jnp.where(um, mT_u, gat_m[:CL, :].T)
+                    mrow, (CL, mrow.shape[1])).T[:W8]
+                mT[:] = jnp.where(um, mT_u, gat_m[:CL, :].T[:W8])
             p1u = pk.mul_mod(tT, mT, 0, W8, acc0, acc1, WN)
             pos1, neg1 = _signed_terms(p1u, tT, mT[:], WN)
             pA[:] = pk.carry_normalize(p1u + pos1, 2 * MASK16)
@@ -388,9 +423,9 @@ def _pass_body(C, Wt, Wo, W8, WN, WQ, WV, E_dummy,
             if ud is None:
                 mT[:] = gat_dm[:CL, :].T[:W8]          # rho_div [W8, CL]
             else:
+                dvrow = SMT_ref[pl.ds(ev_ref[0, 2, 0], 1), :]
                 dm_u = jnp.broadcast_to(
-                    SMT_ref[pl.ds(ev_ref[0, 0, 2], 1), :],
-                    (CL, W8)).T[:W8]
+                    dvrow, (CL, dvrow.shape[1])).T[:W8]
                 mT[:] = jnp.where(ud, dm_u, gat_dm[:CL, :].T[:W8])
             vu = pk.mul_mod(qp, mT, 0, W8, acc0, acc1, WV)
             posv, negv = _signed_terms(vu, qp, mT[:], WV)
@@ -411,16 +446,17 @@ def _pass_body(C, Wt, Wo, W8, WN, WQ, WV, E_dummy,
 
         if t_hbm:
             full = pk._cat([q[:Wo],
-                            jnp.zeros((128 * KR - Wo, CL), jnp.int32)])
-            for k2 in range(KR):
+                            jnp.zeros((128 * KRT - Wo, CL),
+                                      jnp.int32)])
+            for k2 in range(KRT):
                 scat[k2, 0:CL, :] = full[128 * k2:128 * (k2 + 1), :].T
         else:
             scat[0:CL, :] = q[:Wo].T                   # [CL, Wo]
 
         def sissue(e, _):
-            t = ev_ref[0, e, 0]
+            t = ev_ref[0, 0, e]
             if t_hbm:
-                _scatter_row(scat, e, tgt_ref, t, KR, sem)
+                _scatter_row(scat, e, tgt_ref, t, KRT, sem)
             else:
                 if G == 1:
                     tgt_ref[pl.ds(t, 1), :] = scat[pl.ds(e, 1), :]
@@ -433,18 +469,19 @@ def _pass_body(C, Wt, Wo, W8, WN, WQ, WV, E_dummy,
 
         if t_hbm:
             def swait(e, _):
-                t = ev_ref[0, e, 0]
-                _scatter_row(scat, e, tgt_ref, t, KR, sem, wait=True)
+                t = ev_ref[0, 0, e]
+                _scatter_row(scat, e, tgt_ref, t, KRT, sem, wait=True)
                 return 0
 
             lax.fori_loop(0, cnt, swait, 0)
 
 
-def _heads_phase(ks, slots, dvs, anyfix, val, SMT, GT, TZ,
+def _heads_phase(ks, slots, dvs, nh, anyfix, val, SMT, GT, TZ,
                  hgx, hgm, hgi, hgz, hgv, hmT, hiT, hbT, nbuf, Rbuf,
                  lacc0, lacc1, ld, ltz, facc, *,
                  W8, WN, WQ, WV, WI8, G, hbm=False, hrows=None,
-                 sem=None, KR=1, diag_ext=None):
+                 sem=None, KR=1, diag_ext=None,
+                 tpk=False, TO_G=0, TO_Z=0):
     """Phase A: a chunk's pivot heads, batched + chain-refined.
 
     Head t rides lanes [t*GL, (t+1)*GL). The only sequential content of
@@ -492,7 +529,12 @@ def _heads_phase(ks, slots, dvs, anyfix, val, SMT, GT, TZ,
         @pl.when((k >= 0) & anyfix)
         def _g():
             dv = dvs[t]
-            if G == 1:
+            if tpk:
+                # packed rows: row k = mult, row dv = inverse + tz +
+                # verify divisor, all in two gathers
+                hgm[t:t + 1, :] = SMT[pl.ds(k, 1), :]
+                hgi[t:t + 1, :] = GT[pl.ds(dv, 1), :]
+            elif G == 1:
                 hgm[t:t + 1, :] = SMT[pl.ds(k, 1), :]
                 hgi[t:t + 1, :] = GT[pl.ds(dv, 1), :]
                 hgz[t:t + 1, :] = TZ[pl.ds(dv, 1), :]
@@ -513,21 +555,28 @@ def _heads_phase(ks, slots, dvs, anyfix, val, SMT, GT, TZ,
     else:
         xT = hgx[:].T[:W8]
 
-    # per-lane masks from the SMEM head scalars
+    # per-lane live mask: heads pack contiguously from lane 0 (pads
+    # have k = -1 and sit at the end), so one compare suffices
     lane = lax.broadcasted_iota(jnp.int32, (1, HL8), 1)
-    live = jnp.zeros((1, HL8), jnp.bool_)
-    fixm = jnp.zeros((1, HL8), jnp.bool_)
-    for t in range(H):
-        blk = (lane >= t * GL) & (lane < (t + 1) * GL)
-        live = live | (blk & (ks[t] >= 0))
-        fixm = fixm | (blk & (ks[t] >= 0) & (dvs[t] != ks[t]))
+    live = lane < nh * GL
 
-    # ---- 2. speculative batched fix (pre-chunk table state) ----
+    # ---- 2-4 (fix chunks only): speculative batched fix, sequential
+    # chain refine, deferred batched verify. Skip-only chunks bypass
+    # the whole block — their rho IS the gathered diagonal.
     @pl.when(anyfix)
-    def _spec():
+    def _fix_chunk():
+        fixm = jnp.zeros((1, HL8), jnp.bool_)
+        for t in range(H):
+            blk = (lane >= t * GL) & (lane < (t + 1) * GL)
+            fixm = fixm | (blk & (ks[t] >= 0) & (dvs[t] != ks[t]))
         hmT[:] = hgm[:].T[:W8]
-        hiT[:] = hgi[:].T[:WQ]
-        tzv = hgz[:].T[0:1]                      # [1, HL8]
+        if tpk:
+            hiT[:] = hgi[:].T[TO_G:TO_G + WQ]
+            tzv = hgi[:].T[TO_Z:TO_Z + 1]        # [1, HL8]
+        else:
+            hiT[:] = hgi[:].T[:WQ]
+            tzv = hgz[:].T[0:1]                  # [1, HL8]
+        # speculative fix of every head from pre-chunk table state
         p1u = pk.mul_mod(xT, hmT, 0, W8, lacc0, lacc1, WN)
         pos1, neg1 = _signed_terms(p1u, xT, hmT[:], WN)
         P = pk.carry_normalize(p1u + pos1, 2 * MASK16)
@@ -537,39 +586,36 @@ def _heads_phase(ks, slots, dvs, anyfix, val, SMT, GT, TZ,
         qp = pk.mul_mod(shifted[:WQ], hiT, 0, WQ, lacc0, lacc1, WQ)
         Rbuf[:] = jnp.where(fixm, qp, pk.sign_extend(xT, WQ))
 
-    @pl.when(~anyfix)
-    def _nofix():
-        Rbuf[:] = pk.sign_extend(xT, WQ)
+        # sequential refine of true chain links
+        for t in range(1, H):
+            k = ks[t]
 
-    # ---- 3. sequential refine of true chain links ----
-    for t in range(1, H):
-        k = ks[t]
+            @pl.when((k >= 0) & (dvs[t] != k) & (ks[t - 1] == k - 1))
+            def _link():
+                prev = Rbuf[:W8, (t - 1) * GL:t * GL]    # [W8, GL]
+                if GL == 1:
+                    hbT[:] = jnp.broadcast_to(prev, (W8, HL8))
+                else:
+                    reps = -(-HL8 // GL)
+                    hbT[:] = jnp.concatenate(
+                        [prev] * reps, axis=1)[:, :HL8]
+                p1u = pk.mul_mod(xT, hbT, 0, W8, lacc0, lacc1, WN)
+                pos1, neg1 = _signed_terms(p1u, xT, hbT[:], WN)
+                P = pk.carry_normalize(p1u + pos1, 2 * MASK16)
+                num = pk.sub_mod(P,
+                                 pk.carry_normalize(neg1, 2 * MASK16))
+                blk = (lane >= t * GL) & (lane < (t + 1) * GL)
+                nbuf[:] = jnp.where(blk, num, nbuf[:])
+                shifted = pk.shr_bits(num, tzv, W8)
+                qp = pk.mul_mod(shifted[:WQ], hiT, 0, WQ, lacc0,
+                                lacc1, WQ)
+                Rbuf[:] = jnp.where(blk, qp, Rbuf[:])
 
-        @pl.when((k >= 0) & (dvs[t] != k) & (ks[t - 1] == k - 1))
-        def _link():
-            prev = Rbuf[:W8, (t - 1) * GL:t * GL]    # [W8, GL]
-            if GL == 1:
-                hbT[:] = jnp.broadcast_to(prev, (W8, HL8))
-            else:
-                reps = -(-HL8 // GL)
-                hbT[:] = jnp.concatenate(
-                    [prev] * reps, axis=1)[:, :HL8]
-            p1u = pk.mul_mod(xT, hbT, 0, W8, lacc0, lacc1, WN)
-            pos1, neg1 = _signed_terms(p1u, xT, hbT[:], WN)
-            P = pk.carry_normalize(p1u + pos1, 2 * MASK16)
-            num = pk.sub_mod(P,
-                             pk.carry_normalize(neg1, 2 * MASK16))
-            blk = (lane >= t * GL) & (lane < (t + 1) * GL)
-            nbuf[:] = jnp.where(blk, num, nbuf[:])
-            shifted = pk.shr_bits(num, hgz[:].T[0:1], W8)
-            qp = pk.mul_mod(shifted[:WQ], hiT, 0, WQ, lacc0,
-                            lacc1, WQ)
-            Rbuf[:] = jnp.where(blk, qp, Rbuf[:])
-
-    # ---- 4. deferred batched verify + flags + writes + staging ---
-    @pl.when(anyfix)
-    def _verify():
-        hbT[:] = hgv[:].T[:W8]                   # divisor rows
+        # deferred batched verify of every fix
+        if tpk:
+            hbT[:] = hgi[:].T[:W8]               # divisor (packed row)
+        else:
+            hbT[:] = hgv[:].T[:W8]               # divisor rows
         vu = pk.mul_mod(Rbuf[:WQ, :], hbT, 0, W8, lacc0, lacc1, WV)
         posv, negv = _signed_terms(vu, Rbuf[:WQ, :], hbT[:], WV)
         v = pk.sub_mod(pk.carry_normalize(vu + posv, 2 * MASK16),
@@ -579,6 +625,10 @@ def _heads_phase(ks, slots, dvs, anyfix, val, SMT, GT, TZ,
         badm = _fold_members(bad.astype(jnp.int32)[:, :HL], HL, G)
         _facc_or(facc, 1, badm)
         _facc_or(facc, 2, badm)
+
+    @pl.when(~anyfix)
+    def _nofix():
+        Rbuf[:] = pk.sign_extend(xT, WQ)
 
     rho = Rbuf[:]
     zer = pk.is_zero(rho) & live                 # [1, HL8]
@@ -590,6 +640,12 @@ def _heads_phase(ks, slots, dvs, anyfix, val, SMT, GT, TZ,
     _facc_or(facc, 2, om)
     rho_w = jnp.where(zer, _one_residue(W8, HL8), rho[:W8])
     rows_all = rho_w.T                           # [HL8, W8]
+    if hbm:
+        # sublane-pad to the DMA row width BEFORE transposing (lane
+        # concats of sliced rows break Mosaic's offset layout)
+        rows_pad = pk._cat(
+            [rho_w, jnp.zeros((128 * KR - W8, HL8), jnp.int32)]
+        ).T                                      # [HL8, 128*KR]
     for t in range(H):
         k = ks[t]
 
@@ -598,14 +654,14 @@ def _heads_phase(ks, slots, dvs, anyfix, val, SMT, GT, TZ,
             slot = slots[t]
             if G == 1:
                 row = rows_all[t:t + 1, :]
-                SMT[pl.ds(k + 1, 1), :] = row
+                if not tpk:
+                    # packed mode writes SMT combined with GT/tz after
+                    # the lift (_lift_phase) — one full-lane row each
+                    SMT[pl.ds(k + 1, 1), :] = row
                 if hbm:
-                    rw = jnp.concatenate(
-                        [row, jnp.zeros((1, 128 * KR - W8),
-                                        jnp.int32)], axis=1)
                     for k2 in range(KR):
                         hrows[k2, t:t + 1, :] = \
-                            rw[:, 128 * k2:128 * (k2 + 1)]
+                            rows_pad[t:t + 1, 128 * k2:128 * (k2 + 1)]
                     _scatter_row(hrows, t, val, slot, KR, sem)
                 else:
                     val[pl.ds(slot, 1), :] = row
@@ -620,9 +676,15 @@ def _heads_phase(ks, slots, dvs, anyfix, val, SMT, GT, TZ,
     ltz[:] = jnp.where(live, tzr, ltz[:])
 
 
-def _lift_phase(ks, GT, TZ, ld, lx, lu, ltz, lacc0, lacc1, *, WI8, G):
+def _lift_phase(ks, GT, TZ, ld, lx, lu, ltz, lacc0, lacc1, *, WI8, G,
+                tpk=False, W8=0, TO_G=0, TO_Z=0, Rbuf=None):
     """Phase A2: batched Hensel lift of the chunk's new pivot inverses
-    (Newton doubling over the staged odd parts in ld) + GT/TZ writes."""
+    (Newton doubling over the staged odd parts in ld) + GT/TZ writes.
+
+    Packed mode (tpk): writes each head's ENTIRE table row at once —
+    [rho | inverse | tz] assembled limb-major then transposed (full
+    128-lane row stores only; GT is the packed table, Rbuf still holds
+    the heads' rhos from _heads_phase)."""
     H = len(ks)
     LL = ld.shape[1]
     x = pk.inv16(ld[0:1, :])
@@ -639,9 +701,25 @@ def _lift_phase(ks, GT, TZ, ld, lx, lu, ltz, lacc0, lacc1, *, WI8, G):
                                   jnp.int32)]),
             lu, 0, w2, lacc0, lacc1, w2)
         w = w2
-    invT = pk._cat(
-        [x, jnp.zeros((WI8 - x.shape[0], LL),
-                      jnp.int32)]).T                # [LL, WI8]
+    inv_full = pk._cat(
+        [x, jnp.zeros((WI8 - x.shape[0], LL), jnp.int32)])
+    if tpk:
+        # assemble [rho | inverse | tz | 0-pad] limb-major, transpose,
+        # write full 128-lane rows (TO_G == W8, TO_Z == W8 + WI8)
+        rho = Rbuf[:]
+        zer = pk.is_zero(rho)
+        rho_w = jnp.where(zer, _one_residue(W8, LL), rho[:W8])
+        comb = pk._cat([rho_w, inv_full, ltz[:],
+                        jnp.zeros((128 - TO_Z - 1, LL), jnp.int32)])
+        rowsC = comb.T                              # [LL, 128]
+        for t in range(H):
+            k = ks[t]
+
+            @pl.when(k >= 0)
+            def _write_row():
+                GT[pl.ds(k + 1, 1), :] = rowsC[t:t + 1, :]
+        return
+    invT = inv_full.T                               # [LL, WI8]
     tzT = ltz[:].T                                  # [LL, 1]
     for t in range(H):
         k = ks[t]
@@ -660,9 +738,24 @@ def _lift_phase(ks, GT, TZ, ld, lx, lu, ltz, lacc0, lacc1, *, WI8, G):
                                      (G, 8))
 
 
-def _factor_kernel(h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
+def _factor_kernel(hmeta, ev1, ev2, val_in,
                    *rest, n, E, W8, WN, WQ, WV, WI8, H, C1, C2, hbm, KR,
-                   first, G=1):
+                   first, G=1, tpk=False, TO_G=0, TO_Z=0):
+    # hmeta [1, 3H+4]: lanes [0,H) head steps, [H,2H) diag slots,
+    # [2H,3H) diag hists, [3H,3H+4) the chunk counts/flags (2D layout:
+    # a [nc, C, 5]-shaped HBM operand tiles its 5-wide minor dim to
+    # 128, a 25x memory blowup at 1M nnz)
+    def h_step(a, b, t):
+        return hmeta[0, 0, t]
+
+    def h_slot(a, b, t):
+        return hmeta[0, 0, H + t]
+
+    def h_div(a, b, t):
+        return hmeta[0, 0, 2 * H + t]
+
+    def cnts(a, b, j):
+        return hmeta[0, 0, 3 * H + j]
     # later segments receive the previous tables as ANY-memory inputs
     # (a VMEM block spec here would DOUBLE the table footprint — the
     # in-window and out-window both count against scoped VMEM, which
@@ -687,6 +780,11 @@ def _factor_kernel(h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
         hrows = None
         sem = extra[0] if extra else None
     i = pl.program_id(0)
+    if tpk:
+        # packed-tables mode: SMT IS the single packed [n8, 128] table
+        # (_pass_body docstring); GT/TZ outputs are unused dummies
+        assert G == 1 and first
+        GT = TZ = SMT
     # member-lane batching (G > 1): logical row r of every table is
     # stored as G member rows r*G + g; heads/lift lanes carry members
     GL = 1 if G == 1 else G         # head/lift lanes per head
@@ -701,7 +799,12 @@ def _factor_kernel(h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
             cp.wait()
         else:
             val[:] = val_in[:]
-        if first:
+        if tpk:
+            # packed identity row: SMT identity at lane 0, GT identity
+            # at lane TO_G, tz = 0
+            l0 = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            SMT[0:1, :] = ((l0 == 0) | (l0 == TO_G)).astype(jnp.int32)
+        elif first:
             # rows 0..G-1 of both tables = the identity (rho_{-1} = 1)
             SMT[0:G, :] = jnp.concatenate(
                 [jnp.ones((G, 1), jnp.int32),
@@ -719,7 +822,7 @@ def _factor_kernel(h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
                 cp.wait()
         facc[:] = jnp.zeros_like(facc)
 
-    any_heads = cnts[0, 0, 0] > 0
+    any_heads = cnts(0, 0, 0) > 0
 
     # ---------------- phase A: pivot heads (batched + chain refine) ---
     # Head t rides lanes [t*GL, (t+1)*GL). The only sequential content
@@ -747,59 +850,64 @@ def _factor_kernel(h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
         # prefetch every head's diagonal row (distinct slots by
         # construction)
         for t in range(H):
-            @pl.when(h_step[0, 0, t] >= 0)
+            @pl.when(h_step(0, 0, t) >= 0)
             def _hg():
-                _gather_row(val, h_slot[0, 0, t], hrows, t, KR, sem)
+                _gather_row(val, h_slot(0, 0, t), hrows, t, KR, sem)
         for t in range(H):
-            @pl.when(h_step[0, 0, t] >= 0)
+            @pl.when(h_step(0, 0, t) >= 0)
             def _hw():
-                _gather_row(val, h_slot[0, 0, t], hrows, t, KR, sem,
+                _gather_row(val, h_slot(0, 0, t), hrows, t, KR, sem,
                             wait=True)
 
-    ks = [h_step[0, 0, t] for t in range(H)]
-    slots = [h_slot[0, 0, t] for t in range(H)]
-    dvs = [h_div[0, 0, t] for t in range(H)]
+    ks = [h_step(0, 0, t) for t in range(H)]
+    slots = [h_slot(0, 0, t) for t in range(H)]
+    dvs = [h_div(0, 0, t) for t in range(H)]
 
     @pl.when(any_heads)
     def _heads():
-        _heads_phase(ks, slots, dvs, (cnts[0, 0, 3] & 256) != 0,
+        _heads_phase(ks, slots, dvs, cnts(0, 0, 0),
+                     (cnts(0, 0, 3) & 256) != 0,
                      val, SMT, GT, TZ,
                      hgx, hgm, hgi, hgz, hgv, hmT, hiT, hbT, nbuf,
                      Rbuf, lacc0, lacc1, ld, ltz, facc,
                      W8=W8, WN=WN, WQ=WQ, WV=WV, WI8=WI8, G=G,
-                     hbm=hbm, hrows=hrows, sem=sem, KR=KR)
+                     hbm=hbm, hrows=hrows, sem=sem, KR=KR,
+                     tpk=tpk, TO_G=TO_G, TO_Z=TO_Z)
 
     if hbm:
         # pivot writes must land before the passes gather them
         for t in range(H):
-            @pl.when(h_step[0, 0, t] >= 0)
+            @pl.when(h_step(0, 0, t) >= 0)
             def _hww():
-                _scatter_row(hrows, t, val, h_slot[0, 0, t], KR, sem,
+                _scatter_row(hrows, t, val, h_slot(0, 0, t), KR, sem,
                               wait=True)
 
     # ---------------- phase A2: batched Hensel lift -------------------
     @pl.when(any_heads)
     def _lift():
         _lift_phase(ks, GT, TZ, ld, lx, lu, ltz, lacc0, lacc1,
-                    WI8=WI8, G=G)
+                    WI8=WI8, G=G, tpk=tpk, W8=W8, TO_G=TO_G,
+                    TO_Z=TO_Z, Rbuf=Rbuf)
 
     # ---------------- phases B and C: the two batched passes ----------
     vh = (hbm, hbm, hbm)
-    fl = cnts[0, 0, 3]
-    _pass_body(C1, W8, W8, W8, WN, WQ, WV, E, cnts[0, 0, 1], ev1, val,
+    fl = cnts(0, 0, 3)
+    _pass_body(C1, W8, W8, W8, WN, WQ, WV, E, cnts(0, 0, 1), ev1, val,
                val, SMT, GT, TZ, gat_t, gat_m, gat_a, gat_b, gat_g,
                gat_z, gat_dm, scat,
                (mT1, bT1, iT1, acc0a, acc1a, pA1, pB1, qb1),
                facc, val, flag_slot=3, hbm=vh, sem=sem, KR=KR,
                has_ab=False, m0=(fl & 1) != 0, d0=(fl & 4) != 0, G=G,
-               um=(fl & 16) != 0, ud=(fl & 32) != 0)
-    _pass_body(C2, W8, W8, W8, WN, WQ, WV, E, cnts[0, 0, 2], ev2, val,
+               um=(fl & 16) != 0, ud=(fl & 32) != 0,
+               tpk=tpk, TO_G=TO_G, TO_Z=TO_Z)
+    _pass_body(C2, W8, W8, W8, WN, WQ, WV, E, cnts(0, 0, 2), ev2, val,
                val, SMT, GT, TZ, gat_t, gat_m, gat_a, gat_b, gat_g,
                gat_z, gat_dm, scat,
                (mT2, bT2, iT2, acc0b, acc1b, pA2, pB2, qb2),
                facc, val, flag_slot=4, hbm=vh, sem=sem, KR=KR,
                has_ab=True, m0=(fl & 2) != 0, d0=(fl & 8) != 0, G=G,
-               um=(fl & 64) != 0, ud=(fl & 128) != 0)
+               um=(fl & 64) != 0, ud=(fl & 128) != 0,
+               tpk=tpk, TO_G=TO_G, TO_Z=TO_Z)
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _fin():
@@ -807,10 +915,10 @@ def _factor_kernel(h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n", "E", "W8", "WN", "WI8", "H", "C1", "C2", "hbm", "G"))
+    "n", "E", "W8", "WN", "WI8", "H", "C1", "C2", "hbm", "G", "tpk"))
 def factor_fused(n, E, W8, WN, WI8, H, C1, C2,
-                 h_step, h_slot, h_div, cnts, ev1, ev2, val_in,
-                 hbm=False, tables=None, G=1):
+                 hmeta, ev1, ev2, val_in,
+                 hbm=False, tables=None, G=1, tpk=False):
     """Run a factor-stream (segment of) chunks.
     Returns (val, SMT, GT, TZ, flags).
 
@@ -824,8 +932,13 @@ def factor_fused(n, E, W8, WN, WI8, H, C1, C2,
     G > 1 = member-lane batching (VMEM-only): every logical table row r
     is stored as G member rows r*G + g and the G systems execute the
     chunk stream together on the vector lanes (_pass_body docstring).
-    Flags come back per member: flags[cat, g]."""
-    nc = h_step.shape[0]
+    Flags come back per member: flags[cat, g].
+
+    hmeta is the 2D head/count block [nc, 3H+4] (steps | slots | hists
+    | counts+flags); ev1/ev2 are 2D field-major event blocks
+    [nc, 5*C] (lane f*C + e = field f of event e) — 2D layouts keep
+    the HBM tiling from padding a 5-wide minor dim to 128 lanes."""
+    nc = hmeta.shape[0]
     # on hardware, member-ized row slices demand 8-aligned offsets
     # (G % 8 == 0); the interpreter has no alignment rules, so CPU
     # tests run unpadded member counts (lane_group() in the drivers)
@@ -837,6 +950,7 @@ def factor_fused(n, E, W8, WN, WI8, H, C1, C2,
     # by lane halving, which needs heads-per-chunk to be a power of two
     # (head t rides lanes [t*GL, (t+1)*GL), GL = 1 or G)
     assert H & (H - 1) == 0 and H * (1 if G == 1 else G) <= 128
+    assert not tpk or (G == 1 and tables is None)
     E8 = _r8(E + 1)
     n8 = _r8(n + 2) if G == 1 else (n + 2) * G
     KR = val_in.shape[0] // E8 if hbm else 1
@@ -849,21 +963,32 @@ def factor_fused(n, E, W8, WN, WI8, H, C1, C2,
     # (must equal the kernel's HL8 = max(H*GL, 8))
     LL = max(H * (1 if G == 1 else G), 8)
     C1G, C2G = C1 * G, C2 * G
+    TO_G, TO_Z = W8, W8 + WI8
     kern = functools.partial(
         _factor_kernel, n=n, E=E, W8=W8, WN=WN, WQ=WQ, WV=WV, WI8=WI8,
-        H=H, C1=C1, C2=C2, hbm=hbm, KR=KR, first=first, G=G)
+        H=H, C1=C1, C2=C2, hbm=hbm, KR=KR, first=first, G=G,
+        tpk=tpk, TO_G=TO_G, TO_Z=TO_Z)
+    # packed-tables shapes: ONE [n8, 128] table; row-gather scratches
+    # widen to full rows, the per-component ones shrink to dummies
+    SW = 128 if tpk else W8          # SMT/table lane width
+    GW = 8 if tpk else WI8           # GT table width (dummy when tpk)
+    GR = 8 if tpk else n8            # GT/TZ table rows (dummy when tpk)
+    MW = 128 if tpk else W8          # gat_m lanes
+    DW = 128 if tpk else W8          # gat_dm lanes
+    HMW = 128 if tpk else W8         # hgm lanes
+    HIW = 128 if tpk else WI8        # hgi lanes
     val_space = (pl.BlockSpec(memory_space=pl.ANY) if hbm else
                  pl.BlockSpec((val_in.shape[0], W8), lambda i: (0, 0),
                               memory_space=pltpu.VMEM))
     gshape = ((KR, C2, 128) if hbm else (C2G, W8))
     scratch = [
         pltpu.VMEM(gshape, jnp.int32),        # gat_t
-        pltpu.VMEM((C2G, W8), jnp.int32),     # gat_m
+        pltpu.VMEM((C2G, MW), jnp.int32),     # gat_m
         pltpu.VMEM(gshape, jnp.int32),        # gat_a
         pltpu.VMEM(gshape, jnp.int32),        # gat_b
-        pltpu.VMEM((C2G, WI8), jnp.int32),    # gat_g
-        pltpu.VMEM((C2G, 8), jnp.int32),      # gat_z
-        pltpu.VMEM((C2G, W8), jnp.int32),     # gat_dm
+        pltpu.VMEM((8 if tpk else C2G, WI8), jnp.int32),   # gat_g
+        pltpu.VMEM((8 if tpk else C2G, 8), jnp.int32),     # gat_z
+        pltpu.VMEM((C2G, DW), jnp.int32),     # gat_dm
         pltpu.VMEM(gshape, jnp.int32),        # scat
         pltpu.VMEM((W8, C1G), jnp.int32),     # mT1
         pltpu.VMEM((W8, C1G), jnp.int32),     # bT1
@@ -882,8 +1007,8 @@ def factor_fused(n, E, W8, WN, WI8, H, C1, C2,
         pltpu.VMEM((WN, C2G), jnp.int32),     # pB2
         pltpu.VMEM((WN, C2G), jnp.int32),     # qb2
         pltpu.VMEM((LL, W8), jnp.int32),      # hgx (diag rows)
-        pltpu.VMEM((LL, W8), jnp.int32),      # hgm (SMT[k])
-        pltpu.VMEM((LL, WI8), jnp.int32),     # hgi (GT[dv])
+        pltpu.VMEM((LL, HMW), jnp.int32),     # hgm (SMT[k])
+        pltpu.VMEM((LL, HIW), jnp.int32),     # hgi (GT[dv])
         pltpu.VMEM((LL, 8), jnp.int32),       # hgz (TZ[dv])
         pltpu.VMEM((LL, W8), jnp.int32),      # hgv (SMT[dv])
         pltpu.VMEM((W8, LL), jnp.int32),      # hmT
@@ -910,17 +1035,11 @@ def factor_fused(n, E, W8, WN, WI8, H, C1, C2,
         num_scalar_prefetch=0,
         grid=(nc,),
         in_specs=[
-            pl.BlockSpec((1, 1, H), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 1, 3 * H + 4), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, H), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 5, C1), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, H), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 4), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, C1, 5), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, C2, 5), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 5, C2), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             val_space,
         ] + ([] if first else [
@@ -930,11 +1049,11 @@ def factor_fused(n, E, W8, WN, WI8, H, C1, C2,
         ]),
         out_specs=(
             val_space,
-            pl.BlockSpec((n8, W8), lambda i: (0, 0),
+            pl.BlockSpec((n8, SW), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n8, WI8), lambda i: (0, 0),
+            pl.BlockSpec((GR, GW), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n8, 8), lambda i: (0, 0),
+            pl.BlockSpec((GR, 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -945,54 +1064,66 @@ def factor_fused(n, E, W8, WN, WI8, H, C1, C2,
         kern,
         out_shape=(
             jax.ShapeDtypeStruct(val_in.shape, jnp.int32),
-            jax.ShapeDtypeStruct((n8, W8), jnp.int32),
-            jax.ShapeDtypeStruct((n8, WI8), jnp.int32),
-            jax.ShapeDtypeStruct((n8, 8), jnp.int32),
+            jax.ShapeDtypeStruct((n8, SW), jnp.int32),
+            jax.ShapeDtypeStruct((GR, GW), jnp.int32),
+            jax.ShapeDtypeStruct((GR, 8), jnp.int32),
             jax.ShapeDtypeStruct((8, 128), jnp.int32),
         ),
         grid_spec=grid_spec,
-        input_output_aliases={6: 0},
+        input_output_aliases={3: 0},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(h_step[:, None, :], h_slot[:, None, :], h_div[:, None, :],
-      cnts[:, None, :], ev1, ev2, val_in,
+    )(hmeta[:, None, :], ev1, ev2, val_in,
       *(() if first else tables))
 
 
-def _solve_kernel(cnts, ev1, ev2, val, SMT, GT, TZ, X_in,
+def _solve_kernel(cnt_ref, ev1, ev2, val, SMT, GT, TZ, X_in,
                   X, flags,
                   gat_t, gat_m, gat_a, gat_b, gat_g, gat_z, gat_dm, scat,
                   mT1, bT1, iT1, acc0a, acc1a, pA1, pB1, qb1,
                   mT2, bT2, iT2, acc0b, acc1b, pA2, pB2, qb2, facc,
                   *extra, n, E, W8, Ws8, WNS, WQ, WV, WI8, C1, C2, hbm,
-                  KR, G=1, a_g=True, tab_g=True):
-    sem = extra[0] if hbm else None
+                  KR, G=1, a_g=True, tab_g=True, tpk=False, TO_G=0,
+                  TO_Z=0, x_hbm=False):
+    sem = extra[0] if (hbm or x_hbm) else None
     i = pl.program_id(0)
+
+    def cnts(a, b, j):
+        return cnt_ref[0, 0, j]
+    if tpk:
+        GT = TZ = SMT                 # the single packed table
 
     @pl.when(i == 0)
     def _init():
-        X[:] = X_in[:]
+        if x_hbm:
+            cp = pltpu.make_async_copy(X_in, X, sem)
+            cp.start()
+            cp.wait()
+        else:
+            X[:] = X_in[:]
         facc[:] = jnp.zeros_like(facc)
 
-    vh = (False, hbm, False)
-    fl = cnts[0, 0, 3]
-    _pass_body(C1, Ws8, Ws8, W8, WNS, WQ, WV, n, cnts[0, 0, 1], ev1, X,
+    vh = (x_hbm, hbm, x_hbm)
+    fl = cnts(0, 0, 3)
+    _pass_body(C1, Ws8, Ws8, W8, WNS, WQ, WV, n, cnts(0, 0, 1), ev1, X,
                val, SMT, GT, TZ, gat_t, gat_m, gat_a, gat_b, gat_g,
                gat_z, gat_dm, scat,
                (mT1, bT1, iT1, acc0a, acc1a, pA1, pB1, qb1),
                facc, X, flag_slot=3, hbm=vh, sem=sem, KR=KR,
                has_ab=False, m0=(fl & 1) != 0, d0=(fl & 4) != 0,
                G=G, a_g=a_g, tab_g=tab_g,
-               um=(fl & 16) != 0, ud=(fl & 32) != 0)
-    _pass_body(C2, Ws8, Ws8, W8, WNS, WQ, WV, n, cnts[0, 0, 2], ev2, X,
+               um=(fl & 16) != 0, ud=(fl & 32) != 0,
+               tpk=tpk, TO_G=TO_G, TO_Z=TO_Z, KRT=1 if x_hbm else KR)
+    _pass_body(C2, Ws8, Ws8, W8, WNS, WQ, WV, n, cnts(0, 0, 2), ev2, X,
                val, SMT, GT, TZ, gat_t, gat_m, gat_a, gat_b, gat_g,
                gat_z, gat_dm, scat,
                (mT2, bT2, iT2, acc0b, acc1b, pA2, pB2, qb2),
                facc, X, flag_slot=4, hbm=vh, sem=sem, KR=KR,
                has_ab=True, m0=(fl & 2) != 0, d0=(fl & 8) != 0,
                G=G, a_g=a_g, tab_g=tab_g,
-               um=(fl & 64) != 0, ud=(fl & 128) != 0)
+               um=(fl & 64) != 0, ud=(fl & 128) != 0,
+               tpk=tpk, TO_G=TO_G, TO_Z=TO_Z, KRT=1 if x_hbm else KR)
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _fin():
@@ -1001,17 +1132,17 @@ def _solve_kernel(cnts, ev1, ev2, val, SMT, GT, TZ, X_in,
 
 @functools.partial(jax.jit, static_argnames=(
     "n", "E", "W8", "Ws8", "WNS", "WI8", "C1", "C2", "hbm", "G", "a_g",
-    "tab_g"))
+    "tab_g", "tpk", "x_hbm"))
 def solve_fused(n, E, W8, Ws8, WNS, WI8, C1, C2,
                 cnts, ev1, ev2, val, SMT, GT, TZ, X_in, hbm=False,
-                G=1, a_g=True, tab_g=True):
+                G=1, a_g=True, tab_g=True, tpk=False, x_hbm=False):
     """Run the solve stream (fwd + det + bwd). Returns (X, flags).
 
     G > 1 = member-lane batching of G solve streams (X member-ized,
     rows j*G + g). a_g/tab_g say whether the value table / rho tables
     are member-ized too (G pattern-sharing systems) or shared (one
     factorization, G right-hand sides)."""
-    nc = ev1.shape[0]
+    nc = ev1.shape[0]  # ev1/ev2 2D [nc, 5*C], cnts 2D [nc, 4]
     assert G == 1 or ((G % 8 == 0 or _interpret()) and not hbm
                       and C1 * G <= 1024 and C2 * G <= 1024)
     n8 = SMT.shape[0]
@@ -1022,23 +1153,30 @@ def solve_fused(n, E, W8, Ws8, WNS, WI8, C1, C2,
     WV = _r8(WQ + W8)               # verification modulus (>= WQ + W8)
     ACC = max(WNS, 2 * WQ + 2, WV) + 24
     C1G, C2G = C1 * G, C2 * G
+    assert not tpk or (G == 1 and a_g and tab_g)
+    assert not x_hbm or (G == 1 and Ws8 <= 128)
+    TO_G, TO_Z = W8, W8 + WI8
     kern = functools.partial(
         _solve_kernel, n=n, E=E, W8=W8, Ws8=Ws8, WNS=WNS, WQ=WQ, WV=WV,
         WI8=WI8, C1=C1, C2=C2, hbm=hbm, KR=KR, G=G, a_g=a_g,
-        tab_g=tab_g)
+        tab_g=tab_g, tpk=tpk, TO_G=TO_G, TO_Z=TO_Z, x_hbm=x_hbm)
+    MW = 128 if tpk else W8
     val_space = (pl.BlockSpec(memory_space=pl.ANY) if hbm else
                  pl.BlockSpec((val.shape[0], W8), lambda i: (0, 0),
                               memory_space=pltpu.VMEM))
     scratch = [
-        pltpu.VMEM((C2G, Ws8), jnp.int32),    # gat_t
-        pltpu.VMEM((C2G, W8), jnp.int32),     # gat_m
+        pltpu.VMEM((1, C2, 128) if x_hbm else (C2G, Ws8),
+                   jnp.int32),                # gat_t
+        pltpu.VMEM((C2G, MW), jnp.int32),     # gat_m
         pltpu.VMEM((KR, C2, 128) if hbm else (C2G, W8),
                    jnp.int32),                # gat_a
-        pltpu.VMEM((C2G, Ws8), jnp.int32),    # gat_b
-        pltpu.VMEM((C2G, WI8), jnp.int32),    # gat_g
-        pltpu.VMEM((C2G, 8), jnp.int32),      # gat_z
-        pltpu.VMEM((C2G, W8), jnp.int32),     # gat_dm
-        pltpu.VMEM((C2G, Ws8), jnp.int32),    # scat
+        pltpu.VMEM((1, C2, 128) if x_hbm else (C2G, Ws8),
+                   jnp.int32),                # gat_b
+        pltpu.VMEM((8 if tpk else C2G, WI8), jnp.int32),   # gat_g
+        pltpu.VMEM((8 if tpk else C2G, 8), jnp.int32),     # gat_z
+        pltpu.VMEM((C2G, MW), jnp.int32),     # gat_dm
+        pltpu.VMEM((1, C2, 128) if x_hbm else (C2G, Ws8),
+                   jnp.int32),                # scat
         pltpu.VMEM((W8, C1G), jnp.int32),     # mT1
         pltpu.VMEM((Ws8, C1G), jnp.int32),    # bT1
         pltpu.VMEM((WQ, C1G), jnp.int32),     # iT1
@@ -1057,31 +1195,32 @@ def solve_fused(n, E, W8, Ws8, WNS, WI8, C1, C2,
         pltpu.VMEM((WNS, C2G), jnp.int32),    # qb2
         pltpu.VMEM((8, 128), jnp.int32),      # facc (per-member flags)
     ]
-    if hbm:
+    if hbm or x_hbm:
         scratch.append(pltpu.SemaphoreType.DMA(()))  # sem (shared)
+    x_space = (pl.BlockSpec(memory_space=pl.ANY) if x_hbm else
+               pl.BlockSpec((X8, X_in.shape[1]), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nc,),
         in_specs=[
             pl.BlockSpec((1, 1, 4), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, C1, 5), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 5, C1), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, C2, 5), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 5, C2), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             val_space,
-            pl.BlockSpec((n8, W8), lambda i: (0, 0),
+            pl.BlockSpec(SMT.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n8, WI8), lambda i: (0, 0),
+            pl.BlockSpec(GT.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n8, 8), lambda i: (0, 0),
+            pl.BlockSpec(TZ.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((X8, Ws8), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            x_space,
         ],
         out_specs=(
-            pl.BlockSpec((X8, Ws8), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            x_space,
             pl.BlockSpec((8, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
@@ -1090,7 +1229,7 @@ def solve_fused(n, E, W8, Ws8, WNS, WI8, C1, C2,
     return pl.pallas_call(
         kern,
         out_shape=(
-            jax.ShapeDtypeStruct((X8, Ws8), jnp.int32),
+            jax.ShapeDtypeStruct(X_in.shape, jnp.int32),
             jax.ShapeDtypeStruct((8, 128), jnp.int32),
         ),
         grid_spec=grid_spec,
@@ -1103,11 +1242,11 @@ def solve_fused(n, E, W8, Ws8, WNS, WI8, C1, C2,
 
 @functools.partial(jax.jit, static_argnames=(
     "n", "E", "W8", "Ws8", "WN", "WNS", "WI8", "H", "C1", "C2", "hbm",
-    "segments", "ssegments", "G"))
+    "segments", "ssegments", "G", "tpk"))
 def fused_solve_all(n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2,
-                    h_step, h_slot, h_div, fcnt, fev1, fev2,
+                    fhm, fev1, fev2,
                     scnt, sev1, sev2, val_in, b_rows, hbm=False,
-                    segments=None, ssegments=None, G=1):
+                    segments=None, ssegments=None, G=1, tpk=False):
     """ONE XLA program for the whole exact solve: factor stream, every
     RHS solve stream, and a single flat int32 result vector
 
@@ -1145,9 +1284,12 @@ def fused_solve_all(n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2,
     """
     from .relift import relift_gt, widen_tc, widen_val
     if segments is None:
-        segments = ((0, h_step.shape[0], W8),)
+        segments = ((0, fhm.shape[0], W8),)
     E8 = _r8(E + 1)
     S = len(segments)
+    # packed-tables mode (large n, small widths — _pass_body docstring)
+    # runs a single full-width segment on each stream
+    assert not tpk or (G == 1 and S == 1)
     val_d = val_in
     SMT_d = GT_d = TZ_d = None
     fparts = []
@@ -1173,9 +1315,8 @@ def fused_solve_all(n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2,
             tables = (SMT_d, GT_d, TZ_d)
         val_d, SMT_d, GT_d, TZ_d, fflags = factor_fused(
             n, E, W8s, WNs, WIs, H, C1, C2,
-            h_step[lo:hi], h_slot[lo:hi], h_div[lo:hi], fcnt[lo:hi],
-            fev1[lo:hi], fev2[lo:hi], val_d, hbm=hbms, tables=tables,
-            G=G)
+            fhm[lo:hi], fev1[lo:hi], fev2[lo:hi], val_d, hbm=hbms,
+            tables=tables, G=G, tpk=tpk)
         fparts.append(fflags[:2, :G].reshape(-1))
         prev = (W8s, WIs, hbms)
     hbm = prev[2]
@@ -1199,7 +1340,7 @@ def fused_solve_all(n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2,
     # 0; VMEM tables only (HBM a-gathers are per-lane DMAs — not worth
     # it). Flat layout: per solve segment [sing*R8, ovf*R8], then
     # X rows (j*R8 + c)*Ws8 ONCE (not per rhs).
-    rhs_lanes = (G == 1 and nrhs > 1 and not hbm)
+    rhs_lanes = (G == 1 and nrhs > 1 and not hbm and not tpk)
     if rhs_lanes:
         R8 = lane_group(nrhs)
         Ws0 = ssegments[0][2]
@@ -1226,11 +1367,14 @@ def fused_solve_all(n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2,
                 n, E, W8, Ws_s, WNS_s, WIf, C1, C2,
                 scnt[lo:hi], sev1[lo:hi], sev2[lo:hi],
                 val_d, SMT_d, GT_d, TZ_d, X_d, hbm=False,
-                G=R8, a_g=False, tab_g=False)
+                G=R8, a_g=False, tab_g=False)  # (tpk never here)
             parts.append(sflags[:2, :R8].reshape(-1))
             pWs = Ws_s
         parts.append(X_d[:n * R8].reshape(-1))
         return jnp.concatenate(parts)
+    # packed mode keeps X in HBM too (a [130K, Ws8] VMEM window pads
+    # its rows to 128 lanes — the same blowup the packed table avoids)
+    x_hbm = tpk
     for c in range(nrhs):
         col = b_rows[:, c]                             # [G, n, Wb]
         Ws0 = ssegments[0][2]
@@ -1240,7 +1384,8 @@ def fused_solve_all(n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2,
                 [col, jnp.broadcast_to(fill, col.shape[:2]
                                        + (Ws0 - Wb,))], axis=2)
         xr = col[:, :, :Ws0].transpose(1, 0, 2).reshape(n * G, Ws0)
-        X_d = jnp.zeros((X8G, Ws0), jnp.int32).at[:n * G].set(xr)
+        XW = 128 if x_hbm else Ws0
+        X_d = jnp.zeros((X8G, XW), jnp.int32).at[:n * G, :Ws0].set(xr)
         pWs = Ws0
         for (lo, hi, Ws_s) in ssegments:
             if Ws_s != pWs:
@@ -1249,10 +1394,11 @@ def fused_solve_all(n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2,
             X_d, sflags = solve_fused(
                 n, E, W8, Ws_s, WNS_s, WIf, C1, C2,
                 scnt[lo:hi], sev1[lo:hi], sev2[lo:hi],
-                val_d, SMT_d, GT_d, TZ_d, X_d, hbm=hbm, G=G)
+                val_d, SMT_d, GT_d, TZ_d, X_d, hbm=hbm, G=G,
+                tpk=tpk, x_hbm=x_hbm)
             parts.append(sflags[:2, :G].reshape(-1))
             pWs = Ws_s
-        parts.append(X_d[:n * G].reshape(-1))
+        parts.append(X_d[:n * G, :Ws8].reshape(-1))
     return jnp.concatenate(parts)
 
 
@@ -1260,7 +1406,7 @@ def fused_solve_all(n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2,
     "n", "E", "W8", "Ws8", "WN", "WNS", "WI8", "H", "C1", "C2", "hbm",
     "segments", "G"))
 def fused_solve_many(n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2, G,
-                     h_step, h_slot, h_div, fcnt, fev1, fev2,
+                     fhm, fev1, fev2,
                      scnt, sev1, sev2, val_stack, b_stack, hbm=False,
                      segments=None):
     """G pattern-sharing systems in ONE XLA program (SURVEY §2.10 data-
@@ -1278,7 +1424,7 @@ def fused_solve_many(n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2, G,
         val_stack.shape[1] * G, val_stack.shape[2])
     return fused_solve_all(
         n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2,
-        h_step, h_slot, h_div, fcnt, fev1, fev2,
+        fhm, fev1, fev2,
         scnt, sev1, sev2, val_il, b_stack, hbm=False,
         segments=segments, G=G)
 

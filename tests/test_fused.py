@@ -130,3 +130,41 @@ def test_fused_2adically_deep_pivots_climb_not_sing():
     x_host = backslash(A, b, Type.MPQ, opts)
     for i in range(n):
         assert x.x[i, 0] == x_host.x[i, 0], i
+
+
+def test_fused_packed_tables_matches_oracle(monkeypatch, rng):
+    """Packed-tables mode (one [n8, 128] rho table — the large-n path
+    that fits 100K-row tables in VMEM) forced via SLIP_TPK_BUDGET on a
+    small system: exact parity with the host oracle, single-segment."""
+    monkeypatch.setenv("SLIP_TPK_BUDGET", "1000")
+    n = 14
+    A = matrix_copy(random_sparse_int(n, density=0.4, rng=rng),
+                    Kind.CSC, Type.MPZ)
+    b = SlipMatrix.from_dense(
+        np.array([[int(rng.integers(-9, 10))] for _ in range(n)],
+                 dtype=object), Type.MPZ)
+    opts = Options()
+    x_host = backslash(A, b, Type.MPQ, opts)
+    x = factorize_solve_tpu_fused(A, analyze(A, opts), b, opts)
+    for i in range(n):
+        assert x.x[i, 0] == x_host.x[i, 0], i
+
+
+def test_fused_packed_tables_multirhs_and_widths(monkeypatch, rng):
+    """Packed mode with several RHS columns (sequential, rhs-lane
+    batching is disabled there) and 10^6-scale entries (wider W8/WI8
+    still fitting one packed row)."""
+    monkeypatch.setenv("SLIP_TPK_BUDGET", "1000")
+    n = 10
+    A = matrix_copy(random_sparse_int(n, density=0.5, lo=-10**6,
+                                      hi=10**6, rng=rng),
+                    Kind.CSC, Type.MPZ)
+    b = SlipMatrix.from_dense(
+        np.array([[int(rng.integers(-9, 10)) for _ in range(2)]
+                  for _ in range(n)], dtype=object), Type.MPZ)
+    opts = Options()
+    x_host = backslash(A, b, Type.MPQ, opts)
+    x = factorize_solve_tpu_fused(A, analyze(A, opts), b, opts)
+    for i in range(n):
+        for c in range(2):
+            assert x.x[i, c] == x_host.x[i, c], (i, c)

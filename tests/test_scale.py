@@ -26,13 +26,17 @@ def test_uni1m_exact_solve_host():
     from slip_lu_tpu import (Kind, Options, Type, analyze, factorize,
                              matrix_copy, read_dense, read_triplet,
                              solve)
+    from slip_lu_tpu.options import Ordering
     from slip_lu_tpu.solve import check_solution
 
     A = matrix_copy(read_triplet(os.path.join(OUT, "uni1m_mat.txt")),
                     Kind.CSC, Type.MPZ)
     b = read_dense(os.path.join(OUT, "uni1m_v.txt"))
     assert int(A.p[A.n]) >= 900_000, "corpus member must be ~1M nnz"
-    opts = Options()
+    # the member is BUILT for the natural order (every pivot exactly 1,
+    # banded fill — gen_large_mats docstring); fill-reducing orderings
+    # destroy that structure and push the solve to hours
+    opts = Options(order=Ordering.NONE)
     F = factorize(A, analyze(A, opts), opts)
     x = solve(F, b, opts)
     check_solution(A, x, b)

@@ -51,7 +51,7 @@ print(f"{name}: n={A.n} nnz={nnz} cold {cold:.1f}s full warm "
       f"{full*1e3:.1f} ms", flush=True)
 
 key, (sched, r, es, dev_streams, avals) = ana.fused_cache
-(h_step, h_slot, h_div, fcnt, fev1, fev2, scnt, sev1, sev2) = dev_streams
+(fhm, fev1, fev2, scnt, sev1, sev2) = dev_streams
 W, Ws = ana.fused_width_cache
 W8 = ff._r8(W)
 Ws8 = ff._r8(max(Ws, W + 1))
@@ -61,7 +61,7 @@ WI8 = ff._r8(max(W8, Ws8) + 2)
 E = es.nnz
 E8 = ff._r8(E + 1)
 _, segments, _, ssegments = ana.fused_seg_cache[1:]
-print(f"W8={W8} Ws8={Ws8} factor chunks={fcnt.shape[0]} "
+print(f"W8={W8} Ws8={Ws8} factor chunks={fhm.shape[0]} "
       f"solve chunks={scnt.shape[0]} segs={segments} ssegs={ssegments}",
       flush=True)
 
@@ -95,8 +95,8 @@ def run_factor():
             tables = (SMT_d, GT_d, outs[3])
         outs = ff.factor_fused(
             A.n, E, W8s, WNs, WIs, H, 32, 128,
-            h_step[lo:hi], h_slot[lo:hi], h_div[lo:hi], fcnt[lo:hi],
-            fev1[lo:hi], fev2[lo:hi], val_d, hbm=hbms, tables=tables)
+            fhm[lo:hi], fev1[lo:hi], fev2[lo:hi], val_d, hbm=hbms,
+            tables=tables)
         val_d = outs[0]
         prev = (W8s, WIs, hbms)
     return outs, prev

@@ -14,7 +14,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 name = sys.argv[1] if len(sys.argv) > 1 else "grid16"
-which = sys.argv[2:] or ["host", "fused"]
+which = [a for a in sys.argv[2:] if not a.startswith("--")] \
+    or ["host", "fused"]
+# --order=none|colamd|amd (banded corpus members like uni1m are BUILT
+# for the natural order: every pivot is exactly 1 there, so widths and
+# fill stay minimal — see tools/gen_large_mats.py)
+_order = next((a.split("=", 1)[1] for a in sys.argv[2:]
+               if a.startswith("--order=")), "colamd")
 
 if os.environ.get("JAX_PLATFORMS"):
     import jax
@@ -33,7 +39,10 @@ A = matrix_copy(read_triplet(f"data/ExampleMats/{name}_mat.txt"),
 b = read_dense(f"data/ExampleMats/{name}_v.txt")
 nnz = int(A.p[A.n])
 print(f"{name}: n={A.n} nnz={nnz}", flush=True)
-opts = Options()
+from slip_lu_tpu.options import Ordering
+
+opts = Options(order={"none": Ordering.NONE, "colamd": Ordering.COLAMD,
+                      "amd": Ordering.AMD}[_order])
 ana = analyze(A, opts)
 
 x_ref = None
