@@ -169,12 +169,15 @@ def _resolve_order(A, analysis, q, fixed_r):
     tp = np.asarray(sched.tile_pos)
     per_step = float((tp < sched.nnz).sum()) / max(sched.n, 1)
     if per_step >= 8.0:
+        analysis.ilv_applied = False
         return q, (sched, r)
     from ..analyze import etree_interleave
     q2 = etree_interleave(A, q)
     if q2 is q:
+        analysis.ilv_applied = False
         return q, (sched, r)
     analysis.q = q2
+    analysis.ilv_applied = True
     sched2, r2 = build_schedule_best(A, q2, None)
     return q2, (sched2, r2)
 
@@ -196,14 +199,18 @@ def _auto_capacities(sched, n: int):
 def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
                               b: SlipMatrix,
                               options: Optional[Options] = None,
-                              heads_per_chunk: int = 8,
+                              heads_per_chunk: Optional[int] = None,
                               pass1_events: Optional[int] = None,
                               pass2_events: Optional[int] = None) -> SlipMatrix:
     """Exact solve via the fused Pallas sparse path.
 
+    heads_per_chunk: None (default) auto-picks per matrix — 8 when the
+    etree interleave packs independent heads together (head-bound
+    streams), else 2 (event-bound streams pack ~1.5 steps per chunk,
+    and every unused head slot costs per-chunk scalar work: uni100k
+    natural-order measured 599 -> 490 ms at H=2).
     pass1_events/pass2_events: chunk-stream event capacities; None
-    (default) auto-tunes them per matrix from the schedule's live-tile
-    statistics (_auto_capacities)."""
+    (default) auto-tunes them per matrix (_auto_capacities)."""
     options = options or Options()
     options.validate()
     if A.kind != Kind.CSC or A.type != Type.MPZ:
@@ -235,6 +242,9 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
             c1a, c2a = _auto_capacities(sched, n)   # fixed (32, 128)
             p1 = pass1_events if pass1_events is not None else c1a
             p2 = pass2_events if pass2_events is not None else c2a
+            if heads_per_chunk is None:
+                heads_per_chunk = 8 if getattr(
+                    analysis, "ilv_applied", False) else 2
             cache = getattr(analysis, "fused_cache", None)
             key = (heads_per_chunk, p1, p2, skey)
             if cache is not None and cache[0] == key:

@@ -112,7 +112,7 @@ def test_fused_2adically_deep_pivots_climb_not_sing():
     (regression: a 'sing that survives two rungs is genuine' shortcut
     mis-solved tri1000 into the dense fallback)."""
     from slip_lu_tpu.stats import last_stats
-    n = 20
+    n = 12
     dense = np.zeros((n, n), dtype=object)
     for i in range(n):
         dense[i, i] = 3 * 2**16
@@ -123,7 +123,7 @@ def test_fused_2adically_deep_pivots_climb_not_sing():
     opts = Options()
     x = factorize_solve_tpu_fused(A, analyze(A, opts), b, opts,
                                   heads_per_chunk=4, pass1_events=8,
-                                  pass2_events=32)
+                                  pass2_events=16)
     st = last_stats()
     assert st.backend == "tpu-fused" and not st.fallback
     assert st.retries >= 1
@@ -145,7 +145,9 @@ def test_fused_packed_tables_matches_oracle(monkeypatch, rng):
                  dtype=object), Type.MPZ)
     opts = Options()
     x_host = backslash(A, b, Type.MPQ, opts)
-    x = factorize_solve_tpu_fused(A, analyze(A, opts), b, opts)
+    x = factorize_solve_tpu_fused(A, analyze(A, opts), b, opts,
+                                  heads_per_chunk=2, pass1_events=8,
+                                  pass2_events=16)
     for i in range(n):
         assert x.x[i, 0] == x_host.x[i, 0], i
 
@@ -155,16 +157,18 @@ def test_fused_packed_tables_multirhs_and_widths(monkeypatch, rng):
     batching is disabled there) and 10^6-scale entries (wider W8/WI8
     still fitting one packed row)."""
     monkeypatch.setenv("SLIP_TPK_BUDGET", "1000")
-    n = 10
-    A = matrix_copy(random_sparse_int(n, density=0.5, lo=-10**6,
-                                      hi=10**6, rng=rng),
+    n = 8
+    A = matrix_copy(random_sparse_int(n, density=0.5, lo=-10**4,
+                                      hi=10**4, rng=rng),
                     Kind.CSC, Type.MPZ)
     b = SlipMatrix.from_dense(
         np.array([[int(rng.integers(-9, 10)) for _ in range(2)]
                   for _ in range(n)], dtype=object), Type.MPZ)
     opts = Options()
     x_host = backslash(A, b, Type.MPQ, opts)
-    x = factorize_solve_tpu_fused(A, analyze(A, opts), b, opts)
+    x = factorize_solve_tpu_fused(A, analyze(A, opts), b, opts,
+                                  heads_per_chunk=2, pass1_events=8,
+                                  pass2_events=16)
     for i in range(n):
         for c in range(2):
             assert x.x[i, c] == x_host.x[i, c], (i, c)

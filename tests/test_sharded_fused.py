@@ -24,6 +24,11 @@ from slip_lu_tpu.solve import check_solution
 from conftest import random_sparse_int
 
 
+# small chunk capacities keep the interpret-mode kernel traces (the
+# dominant cost of these tests) an order of magnitude smaller
+CAPS = dict(heads_per_chunk=2, pass1_events=8, pass2_events=16)
+
+
 def _sys(n, seed, density=0.35, lohi=9, nrhs=1):
     rng = np.random.default_rng(seed)
     A = matrix_copy(random_sparse_int(n, density=density, lo=-lohi,
@@ -45,7 +50,7 @@ def test_sharded_fused_matches_oracle(ndev):
     x_ref = backslash(A, b, Type.MPQ, opts)
     mesh = make_mesh(jax.devices()[:ndev])
     x = factorize_solve_fused_sharded(A, analyze(A, opts), b, mesh,
-                                      opts)
+                                      opts, **CAPS)
     check_solution(A, x, b)
     for i in range(A.n):
         assert x.x[i, 0] == x_ref.x[i, 0], i
@@ -55,10 +60,10 @@ def test_sharded_fused_bit_identical_across_topologies():
     A, b = _sys(16, seed=11, nrhs=2)
     opts = Options()
     sols = []
-    for ndev in (1, 2, 4):
+    for ndev in (1, 3):
         mesh = make_mesh(jax.devices()[:ndev])
         x = factorize_solve_fused_sharded(A, analyze(A, opts), b,
-                                          mesh, opts)
+                                          mesh, opts, **CAPS)
         sols.append(x)
     x_ref = backslash(A, b, Type.MPQ, opts)
     for x in sols:
@@ -76,7 +81,7 @@ def test_sharded_fused_wide_entries_ladder():
     x_ref = backslash(A, b, Type.MPQ, opts)
     mesh = make_mesh(jax.devices()[:2])
     x = factorize_solve_fused_sharded(A, analyze(A, opts), b, mesh,
-                                      opts)
+                                      opts, **CAPS)
     for i in range(A.n):
         assert x.x[i, 0] == x_ref.x[i, 0], i
 
@@ -96,6 +101,6 @@ def test_sharded_fused_cancellation_falls_back():
     x_ref = backslash(A, b, Type.MPQ, opts)
     mesh = make_mesh(jax.devices()[:2])
     x = factorize_solve_fused_sharded(A, analyze(A, opts), b, mesh,
-                                      opts)
+                                      opts, **CAPS)
     for i in range(4):
         assert x.x[i, 0] == x_ref.x[i, 0], i
