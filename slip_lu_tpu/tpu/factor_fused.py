@@ -80,12 +80,6 @@ def _one_residue(rows: int, b: int) -> jnp.ndarray:
         [jnp.ones((1, b), jnp.int32), jnp.zeros((rows - 1, b), jnp.int32)])
 
 
-def _col_of_row(row: jnp.ndarray, rows: int) -> jnp.ndarray:
-    """[1, X] row value -> [X, 8] column-form (all 8 lanes identical),
-    avoiding value lane-slicing (only broadcasts and one transpose)."""
-    return jnp.broadcast_to(row, (8, row.shape[1])).T[:rows]
-
-
 def _signed_terms(pu, x, y, D):
     """Split the signed-product correction of pu = conv_u(x, y) mod D
     into (positive_extra, negative_extra): true signed product
