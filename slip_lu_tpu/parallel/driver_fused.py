@@ -38,6 +38,12 @@ from .factor_fused_shard import fused_sharded_solve
 from .stream_shard_fused import build_sharded_stream
 
 
+def _ev4d(ev):
+    """[p, nc, C, 5] -> field-major [p, nc, 5, C] (the shared
+    _pass_body reads ev_ref[0, field, event])."""
+    return np.ascontiguousarray(ev.transpose(0, 1, 3, 2))
+
+
 def _pad_bc(chunks, dummy):
     """Pad a ShardedChunks' bc arrays to a lane-friendly width."""
     CB8 = max(8, _r8(chunks.CB))
@@ -154,14 +160,14 @@ def factorize_solve_fused_sharded(A: SlipMatrix, analysis: Analysis,
                 jnp.asarray(ses.factor.h_div),
                 jnp.asarray(ses.factor.mine_diag),
                 jnp.asarray(ses.factor.counts),
-                jnp.asarray(ses.factor.ev1),
-                jnp.asarray(ses.factor.ev2),
+                jnp.asarray(_ev4d(ses.factor.ev1)),
+                jnp.asarray(_ev4d(ses.factor.ev2)),
                 jnp.asarray(fb_idx),
                 jnp.asarray(ses.factor.bc_cnt),
                 jnp.asarray(fb_mbc),
                 jnp.asarray(ses.solve.counts),
-                jnp.asarray(ses.solve.ev1),
-                jnp.asarray(ses.solve.ev2),
+                jnp.asarray(_ev4d(ses.solve.ev1)),
+                jnp.asarray(_ev4d(ses.solve.ev2)),
                 jnp.asarray(sb_idx),
                 jnp.asarray(ses.solve.bc_cnt),
                 jnp.asarray(sb_mbc),

@@ -195,7 +195,7 @@ def _ab_call(cnt, hs, hsl, hd, ev1, bidx, bcn, diag_b, val, SMT, GT,
         ),
         in_specs=[
             _smem((1, 4)), _smem((1, H)), _smem((1, H)), _smem((1, H)),
-            _smem((1, C1, 5)), _smem((1, CB8)), _smem((1, 1)),
+            _smem((1, 5, C1)), _smem((1, CB8)), _smem((1, 1)),
             _vmem((max(H, 8), Wt)),
             _vmem((E8v, Wt)), _vmem((n8, W8)), _vmem((n8, WI8)),
             _vmem((n8, 8)), _vmem((8, 128)), _vmem((1, CB8)),
@@ -249,7 +249,7 @@ def _c_call(cnt, ev2, bidx, bcn, bc, a_src, SMT, GT, TZ, val, facc,
             jax.ShapeDtypeStruct((8, 128), jnp.int32),     # facc
         ),
         in_specs=[
-            _smem((1, 4)), _smem((1, C2, 5)), _smem((1, CB8)),
+            _smem((1, 4)), _smem((1, 5, C2)), _smem((1, CB8)),
             _smem((1, 1)),
             _vmem((CB8, Wt)), _vmem((a_src.shape[0], W8)),
             _vmem((n8, W8)), _vmem((n8, WI8)), _vmem((n8, 8)),

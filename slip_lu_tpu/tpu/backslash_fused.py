@@ -41,7 +41,7 @@ from ..options import Options
 from ..stats import SolveStats, phase_timer, record
 from .bounds import (_input_width, factor_width, hadamard_bits,
                      solve_width)
-from .factor_fused import (fused_solve_all, fused_solve_many,
+from .factor_fused import (_auto_ck, fused_solve_all, fused_solve_many,
                            ints_to_tc_rows, lane_group, tc_rows_to_ints,
                            val_table_in_hbm, _r8, _r128)
 from .schedule import _permute_cols
@@ -400,7 +400,8 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
                         fhm, fev1, fev2,
                         scnt, sev1, sev2, val_dev, jnp.asarray(b_rows),
                         hbm=hbm_mode, segments=segments,
-                        ssegments=ssegments, tpk=tpk)))
+                        ssegments=ssegments, tpk=tpk,
+                        CK=_auto_ck())))
                 except jax.errors.JaxRuntimeError as e:
                     # a width rung too wide to COMPILE (tables overflow
                     # scoped VMEM) is ladder exhaustion, not a crash:
@@ -820,7 +821,7 @@ def _fused_many_group(As, analysis, bzs, bs, options, heads_per_chunk,
                 pass1_events, pass2_events, G,
                 fhm, fev1, fev2,
                 scnt, sev1, sev2, vstack, jnp.asarray(b_stack),
-                hbm=False, segments=segments)))
+                hbm=False, segments=segments, CK=_auto_ck())))
         # G-aware flat layout (fused_solve_all docstring):
         # per factor segment [sing*G, ovf*G]; det G*W8; per rhs
         # [per solve segment sing*G, ovf*G] then X rows (j*G+g)*Ws8

@@ -180,7 +180,7 @@ def _pass_body(C, Wt, Wo, W8, WN, WQ, WV, E_dummy,
                hbm=(False, False, False), sem=None, KR=1,
                has_ab=True, m0=None, d0=None,
                G=1, a_g=True, tab_g=True, um=None, ud=None,
-               tpk=False, TO_G=0, TO_Z=0, KRT=None):
+               tpk=False, TO_G=0, TO_Z=0, KRT=None, evo=0):
     mT, bT, iT, acc0, acc1, pA, pB, qb = conv
     if KRT is None:
         KRT = KR                     # target/b row width = a row width
@@ -280,9 +280,9 @@ def _pass_body(C, Wt, Wo, W8, WN, WQ, WV, E_dummy,
         _tab_copy = _memb_copy if tab_g else _shared_copy
 
         def gissue(e, _):
-            t = ev_ref[0, 0, e]
-            m_ = ev_ref[0, 1, e]
-            d_ = ev_ref[0, 2, e]
+            t = ev_ref[0, evo + 0, e]
+            m_ = ev_ref[0, evo + 1, e]
+            d_ = ev_ref[0, evo + 2, e]
 
             @pl.when(~umv)
             def _gm():
@@ -302,8 +302,8 @@ def _pass_body(C, Wt, Wo, W8, WN, WQ, WV, E_dummy,
             else:
                 _memb_copy(gat_t, tgt_ref, e, t)
             if has_ab:
-                a_ = ev_ref[0, 3, e]
-                b_ = ev_ref[0, 4, e]
+                a_ = ev_ref[0, evo + 3, e]
+                b_ = ev_ref[0, evo + 4, e]
                 if a_hbm:
                     _gather_row(a_ref, a_, gat_a, e, KR, sem)
                 elif a_g:
@@ -320,13 +320,13 @@ def _pass_body(C, Wt, Wo, W8, WN, WQ, WV, E_dummy,
 
         if t_hbm or (has_ab and (a_hbm or b_hbm)):
             def gwait(e, _):
-                t = ev_ref[0, 0, e]
+                t = ev_ref[0, evo + 0, e]
                 if t_hbm:
                     _gather_row(tgt_ref, t, gat_t, e, KRT, sem,
                                 wait=True)
                 if has_ab:
-                    a_ = ev_ref[0, 3, e]
-                    b_ = ev_ref[0, 4, e]
+                    a_ = ev_ref[0, evo + 3, e]
+                    b_ = ev_ref[0, evo + 4, e]
                     if a_hbm:
                         _gather_row(a_ref, a_, gat_a, e, KR, sem,
                                     wait=True)
@@ -345,7 +345,7 @@ def _pass_body(C, Wt, Wo, W8, WN, WQ, WV, E_dummy,
                 iT[:] = dT[TO_G:TO_G + WQ]
                 tz = dT[TO_Z:TO_Z + 1]
             else:
-                d0r = ev_ref[0, 2, 0]
+                d0r = ev_ref[0, evo + 2, 0]
                 drow = GT_ref[pl.ds(d0r, 1), :]
                 dT_u = jnp.broadcast_to(drow, (CL, 128)).T
                 iT[:] = jnp.where(ud, dT_u[TO_G:TO_G + WQ],
@@ -356,7 +356,7 @@ def _pass_body(C, Wt, Wo, W8, WN, WQ, WV, E_dummy,
             iT[:] = gat_g[:CL, :].T[:WQ]               # [WQ, CL]
             tz = gat_z[:CL, :].T[0:1]                  # [1, CL]
         else:
-            d0r = ev_ref[0, 2, 0]
+            d0r = ev_ref[0, evo + 2, 0]
             gt_row = GT_ref[pl.ds(d0r, 1), :]
             iT_u = jnp.broadcast_to(gt_row,
                                     (CL, gt_row.shape[1])).T[:WQ]
@@ -376,7 +376,7 @@ def _pass_body(C, Wt, Wo, W8, WN, WQ, WV, E_dummy,
             if um is None:
                 mT[:] = gat_m[:CL, :].T[:W8]           # [W8, CL]
             else:
-                m0r = ev_ref[0, 1, 0]
+                m0r = ev_ref[0, evo + 1, 0]
                 mrow = SMT_ref[pl.ds(m0r, 1), :]
                 mT_u = jnp.broadcast_to(
                     mrow, (CL, mrow.shape[1])).T[:W8]
@@ -417,7 +417,7 @@ def _pass_body(C, Wt, Wo, W8, WN, WQ, WV, E_dummy,
             if ud is None:
                 mT[:] = gat_dm[:CL, :].T[:W8]          # rho_div [W8, CL]
             else:
-                dvrow = SMT_ref[pl.ds(ev_ref[0, 2, 0], 1), :]
+                dvrow = SMT_ref[pl.ds(ev_ref[0, evo + 2, 0], 1), :]
                 dm_u = jnp.broadcast_to(
                     dvrow, (CL, dvrow.shape[1])).T[:W8]
                 mT[:] = jnp.where(ud, dm_u, gat_dm[:CL, :].T[:W8])
@@ -448,7 +448,7 @@ def _pass_body(C, Wt, Wo, W8, WN, WQ, WV, E_dummy,
             scat[0:CL, :] = q[:Wo].T                   # [CL, Wo]
 
         def sissue(e, _):
-            t = ev_ref[0, 0, e]
+            t = ev_ref[0, evo + 0, e]
             if t_hbm:
                 _scatter_row(scat, e, tgt_ref, t, KRT, sem)
             else:
@@ -463,7 +463,7 @@ def _pass_body(C, Wt, Wo, W8, WN, WQ, WV, E_dummy,
 
         if t_hbm:
             def swait(e, _):
-                t = ev_ref[0, 0, e]
+                t = ev_ref[0, evo + 0, e]
                 _scatter_row(scat, e, tgt_ref, t, KRT, sem, wait=True)
                 return 0
 
@@ -734,22 +734,14 @@ def _lift_phase(ks, GT, TZ, ld, lx, lu, ltz, lacc0, lacc1, *, WI8, G,
 
 def _factor_kernel(hmeta, ev1, ev2, val_in,
                    *rest, n, E, W8, WN, WQ, WV, WI8, H, C1, C2, hbm, KR,
-                   first, G=1, tpk=False, TO_G=0, TO_Z=0):
-    # hmeta [1, 3H+4]: lanes [0,H) head steps, [H,2H) diag slots,
+                   first, G=1, tpk=False, TO_G=0, TO_Z=0, CK=1):
+    # hmeta [1, CK, 3H+4]: lanes [0,H) head steps, [H,2H) diag slots,
     # [2H,3H) diag hists, [3H,3H+4) the chunk counts/flags (2D layout:
     # a [nc, C, 5]-shaped HBM operand tiles its 5-wide minor dim to
-    # 128, a 25x memory blowup at 1M nnz)
-    def h_step(a, b, t):
-        return hmeta[0, 0, t]
-
-    def h_slot(a, b, t):
-        return hmeta[0, 0, H + t]
-
-    def h_div(a, b, t):
-        return hmeta[0, 0, 2 * H + t]
-
-    def cnts(a, b, j):
-        return hmeta[0, 0, 3 * H + j]
+    # 128, a 25x memory blowup at 1M nnz). CK SUB-CHUNKS execute per
+    # grid step in an in-kernel loop — the per-grid-step pipeline
+    # overhead (~15 us on v5e: SMEM window swaps + bookkeeping) was
+    # 60% of narrow-width solves at one chunk per step.
     # later segments receive the previous tables as ANY-memory inputs
     # (a VMEM block spec here would DOUBLE the table footprint — the
     # in-window and out-window both count against scoped VMEM, which
@@ -816,103 +808,149 @@ def _factor_kernel(hmeta, ev1, ev2, val_in,
                 cp.wait()
         facc[:] = jnp.zeros_like(facc)
 
-    any_heads = cnts(0, 0, 0) > 0
+    # ---------------- per-sub-chunk body (CK per grid step) -----------
+    # Phase A: pivot heads, batched + chain-refined (_heads_phase);
+    # phase A2: one batched Hensel lift; phases B/C: the two batched
+    # passes. Sub-chunks execute strictly in order — identical
+    # semantics to one-chunk-per-grid-step, minus CK-1 grid overheads.
+    def _sub(k2):
+        def h_step(a, b, t):
+            return hmeta[0, k2, t]
 
-    # ---------------- phase A: pivot heads (batched + chain refine) ---
-    # Head t rides lanes [t*GL, (t+1)*GL). The only sequential content
-    # of a chunk's heads is the rho chain itself: head k's history fix
-    # multiplies by SMT[k] = rho_{k-1}, which is produced IN-CHUNK
-    # exactly when head k-1 shares the chunk (heads are consecutive
-    # ascending steps). Everything else batches:
-    #   1. gather all head operands (diag, SMT[k], GT/TZ/SMT[dv]);
-    #   2. ONE speculative batched fix of every fix-head from pre-chunk
-    #      table state — final for heads whose k-1 is outside the chunk;
-    #   3. sequential refine of true chain links only (2 muls per link:
-    #      product with the just-refined rho_{k-1}, short division);
-    #   4. ONE deferred batched verify of all fixes + flags + table/val
-    #      writes + lift staging.
-    # vs the previous per-head loop (3 sequential full-width muls per
-    # fix plus per-head verify/flag/staging overhead) this costs
-    # 2 batched + 2*links sequential + 1 batched muls per chunk.
-    @pl.when(any_heads)
-    def _heads_init():
-        ld[:] = jnp.zeros_like(ld)
-        ld[0:1, :] = jnp.ones((1, ld.shape[1]), jnp.int32)
-        ltz[:] = jnp.zeros_like(ltz)
+        def h_slot(a, b, t):
+            return hmeta[0, k2, H + t]
 
-    if hbm:
-        # prefetch every head's diagonal row (distinct slots by
-        # construction)
-        for t in range(H):
-            @pl.when(h_step(0, 0, t) >= 0)
-            def _hg():
-                _gather_row(val, h_slot(0, 0, t), hrows, t, KR, sem)
-        for t in range(H):
-            @pl.when(h_step(0, 0, t) >= 0)
-            def _hw():
-                _gather_row(val, h_slot(0, 0, t), hrows, t, KR, sem,
-                            wait=True)
+        def h_div(a, b, t):
+            return hmeta[0, k2, 2 * H + t]
 
-    ks = [h_step(0, 0, t) for t in range(H)]
-    slots = [h_slot(0, 0, t) for t in range(H)]
-    dvs = [h_div(0, 0, t) for t in range(H)]
+        def cnts(a, b, j):
+            return hmeta[0, k2, 3 * H + j]
 
-    @pl.when(any_heads)
-    def _heads():
-        _heads_phase(ks, slots, dvs, cnts(0, 0, 0),
-                     (cnts(0, 0, 3) & 256) != 0,
-                     val, SMT, GT, TZ,
-                     hgx, hgm, hgi, hgz, hgv, hmT, hiT, hbT, nbuf,
-                     Rbuf, lacc0, lacc1, ld, ltz, facc,
-                     W8=W8, WN=WN, WQ=WQ, WV=WV, WI8=WI8, G=G,
-                     hbm=hbm, hrows=hrows, sem=sem, KR=KR,
-                     tpk=tpk, TO_G=TO_G, TO_Z=TO_Z)
+        evo = 5 * k2
+        any_heads = cnts(0, 0, 0) > 0
 
-    if hbm:
-        # pivot writes must land before the passes gather them
-        for t in range(H):
-            @pl.when(h_step(0, 0, t) >= 0)
-            def _hww():
-                _scatter_row(hrows, t, val, h_slot(0, 0, t), KR, sem,
-                              wait=True)
+        @pl.when(any_heads)
+        def _heads_init():
+            ld[:] = jnp.zeros_like(ld)
+            ld[0:1, :] = jnp.ones((1, ld.shape[1]), jnp.int32)
+            ltz[:] = jnp.zeros_like(ltz)
 
-    # ---------------- phase A2: batched Hensel lift -------------------
-    @pl.when(any_heads)
-    def _lift():
-        _lift_phase(ks, GT, TZ, ld, lx, lu, ltz, lacc0, lacc1,
-                    WI8=WI8, G=G, tpk=tpk, W8=W8, TO_G=TO_G,
-                    TO_Z=TO_Z, Rbuf=Rbuf)
+        if hbm:
+            # prefetch every head's diagonal row (distinct slots by
+            # construction)
+            for t in range(H):
+                @pl.when(h_step(0, 0, t) >= 0)
+                def _hg():
+                    _gather_row(val, h_slot(0, 0, t), hrows, t, KR, sem)
+            for t in range(H):
+                @pl.when(h_step(0, 0, t) >= 0)
+                def _hw():
+                    _gather_row(val, h_slot(0, 0, t), hrows, t, KR, sem,
+                                wait=True)
 
-    # ---------------- phases B and C: the two batched passes ----------
-    vh = (hbm, hbm, hbm)
-    fl = cnts(0, 0, 3)
-    _pass_body(C1, W8, W8, W8, WN, WQ, WV, E, cnts(0, 0, 1), ev1, val,
-               val, SMT, GT, TZ, gat_t, gat_m, gat_a, gat_b, gat_g,
-               gat_z, gat_dm, scat,
-               (mT1, bT1, iT1, acc0a, acc1a, pA1, pB1, qb1),
-               facc, val, flag_slot=3, hbm=vh, sem=sem, KR=KR,
-               has_ab=False, m0=(fl & 1) != 0, d0=(fl & 4) != 0, G=G,
-               um=(fl & 16) != 0, ud=(fl & 32) != 0,
-               tpk=tpk, TO_G=TO_G, TO_Z=TO_Z)
-    _pass_body(C2, W8, W8, W8, WN, WQ, WV, E, cnts(0, 0, 2), ev2, val,
-               val, SMT, GT, TZ, gat_t, gat_m, gat_a, gat_b, gat_g,
-               gat_z, gat_dm, scat,
-               (mT2, bT2, iT2, acc0b, acc1b, pA2, pB2, qb2),
-               facc, val, flag_slot=4, hbm=vh, sem=sem, KR=KR,
-               has_ab=True, m0=(fl & 2) != 0, d0=(fl & 8) != 0, G=G,
-               um=(fl & 64) != 0, ud=(fl & 128) != 0,
-               tpk=tpk, TO_G=TO_G, TO_Z=TO_Z)
+        ks = [h_step(0, 0, t) for t in range(H)]
+        slots = [h_slot(0, 0, t) for t in range(H)]
+        dvs = [h_div(0, 0, t) for t in range(H)]
+
+        @pl.when(any_heads)
+        def _heads():
+            _heads_phase(ks, slots, dvs, cnts(0, 0, 0),
+                         (cnts(0, 0, 3) & 256) != 0,
+                         val, SMT, GT, TZ,
+                         hgx, hgm, hgi, hgz, hgv, hmT, hiT, hbT, nbuf,
+                         Rbuf, lacc0, lacc1, ld, ltz, facc,
+                         W8=W8, WN=WN, WQ=WQ, WV=WV, WI8=WI8, G=G,
+                         hbm=hbm, hrows=hrows, sem=sem, KR=KR,
+                         tpk=tpk, TO_G=TO_G, TO_Z=TO_Z)
+
+        if hbm:
+            # pivot writes must land before the passes gather them
+            for t in range(H):
+                @pl.when(h_step(0, 0, t) >= 0)
+                def _hww():
+                    _scatter_row(hrows, t, val, h_slot(0, 0, t), KR,
+                                 sem, wait=True)
+
+        @pl.when(any_heads)
+        def _lift():
+            _lift_phase(ks, GT, TZ, ld, lx, lu, ltz, lacc0, lacc1,
+                        WI8=WI8, G=G, tpk=tpk, W8=W8, TO_G=TO_G,
+                        TO_Z=TO_Z, Rbuf=Rbuf)
+
+        vh = (hbm, hbm, hbm)
+        fl = cnts(0, 0, 3)
+        _pass_body(C1, W8, W8, W8, WN, WQ, WV, E, cnts(0, 0, 1), ev1,
+                   val, val, SMT, GT, TZ, gat_t, gat_m, gat_a, gat_b,
+                   gat_g, gat_z, gat_dm, scat,
+                   (mT1, bT1, iT1, acc0a, acc1a, pA1, pB1, qb1),
+                   facc, val, flag_slot=3, hbm=vh, sem=sem, KR=KR,
+                   has_ab=False, m0=(fl & 1) != 0, d0=(fl & 4) != 0,
+                   G=G, um=(fl & 16) != 0, ud=(fl & 32) != 0,
+                   tpk=tpk, TO_G=TO_G, TO_Z=TO_Z, evo=evo)
+        _pass_body(C2, W8, W8, W8, WN, WQ, WV, E, cnts(0, 0, 2), ev2,
+                   val, val, SMT, GT, TZ, gat_t, gat_m, gat_a, gat_b,
+                   gat_g, gat_z, gat_dm, scat,
+                   (mT2, bT2, iT2, acc0b, acc1b, pA2, pB2, qb2),
+                   facc, val, flag_slot=4, hbm=vh, sem=sem, KR=KR,
+                   has_ab=True, m0=(fl & 2) != 0, d0=(fl & 8) != 0,
+                   G=G, um=(fl & 64) != 0, ud=(fl & 128) != 0,
+                   tpk=tpk, TO_G=TO_G, TO_Z=TO_Z, evo=evo)
+
+    if CK == 1:
+        _sub(0)
+    else:
+        def _loop(k2, carry):
+            _sub(k2)
+            return carry
+
+        lax.fori_loop(0, CK, _loop, 0)
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _fin():
         flags[:] = facc[:]
 
 
+def _chunk_group(hmeta, ev1, ev2, H, C1, C2, CK):
+    """Pad the chunk axis to a multiple of CK and fold CK chunks into
+    each grid step: hmeta [nc, 3H+4] -> [ncg, CK, 3H+4], ev [nc, 5, C]
+    -> [ncg, CK*5, C]. Pad chunks are empty (head steps -1, counts 0),
+    which every phase skips."""
+    nc = hmeta.shape[0]
+    ncg = -(-nc // CK)
+    pad = ncg * CK - nc
+    if pad:
+        hp = jnp.zeros((pad, 3 * H + 4), jnp.int32).at[:, :H].set(-1)
+        hmeta = jnp.concatenate([hmeta, hp])
+        ev1 = jnp.concatenate(
+            [ev1, jnp.zeros((pad, 5, C1), jnp.int32)])
+        ev2 = jnp.concatenate(
+            [ev2, jnp.zeros((pad, 5, C2), jnp.int32)])
+    return (hmeta.reshape(ncg, CK, 3 * H + 4),
+            ev1.reshape(ncg, CK * 5, C1),
+            ev2.reshape(ncg, CK * 5, C2), ncg)
+
+
+def _auto_ck():
+    """Sub-chunks per grid step (SLIP_FUSED_CK override, default 1).
+
+    Measured negative result (uni10k, v5e): an all-phases-skipped
+    chunk still costs ~15 us, but folding CK=4 chunks into one grid
+    step does NOT recover it (62-68 ms device either way) — the floor
+    is the per-chunk SCALAR code (condition evaluation, head-metadata
+    reads, gather-loop setup), which runs per sub-chunk regardless,
+    not the grid/SMEM-window bookkeeping. Kept as a tested hook; the
+    real lever for the chunk floor is fewer chunks (scheduling depth,
+    ROADMAP round-5 item 1)."""
+    import os
+    return int(os.environ.get("SLIP_FUSED_CK", 1))
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "n", "E", "W8", "WN", "WI8", "H", "C1", "C2", "hbm", "G", "tpk"))
+    "n", "E", "W8", "WN", "WI8", "H", "C1", "C2", "hbm", "G", "tpk",
+    "CK"))
 def factor_fused(n, E, W8, WN, WI8, H, C1, C2,
                  hmeta, ev1, ev2, val_in,
-                 hbm=False, tables=None, G=1, tpk=False):
+                 hbm=False, tables=None, G=1, tpk=False, CK=1):
     """Run a factor-stream (segment of) chunks.
     Returns (val, SMT, GT, TZ, flags).
 
@@ -929,9 +967,10 @@ def factor_fused(n, E, W8, WN, WI8, H, C1, C2,
     Flags come back per member: flags[cat, g].
 
     hmeta is the 2D head/count block [nc, 3H+4] (steps | slots | hists
-    | counts+flags); ev1/ev2 are 2D field-major event blocks
-    [nc, 5*C] (lane f*C + e = field f of event e) — 2D layouts keep
-    the HBM tiling from padding a 5-wide minor dim to 128 lanes."""
+    | counts+flags); ev1/ev2 are field-major event blocks [nc, 5, C]
+    (row f, lane e = field f of event e) — these layouts keep the HBM
+    tiling from padding a 5-wide minor dim to 128 lanes. CK sub-chunks
+    run per grid step (_chunk_group)."""
     nc = hmeta.shape[0]
     # on hardware, member-ized row slices demand 8-aligned offsets
     # (G % 8 == 0); the interpreter has no alignment rules, so CPU
@@ -958,10 +997,12 @@ def factor_fused(n, E, W8, WN, WI8, H, C1, C2,
     LL = max(H * (1 if G == 1 else G), 8)
     C1G, C2G = C1 * G, C2 * G
     TO_G, TO_Z = W8, W8 + WI8
+    hmeta, ev1, ev2, ncg = _chunk_group(hmeta, ev1, ev2, H, C1, C2,
+                                        CK)
     kern = functools.partial(
         _factor_kernel, n=n, E=E, W8=W8, WN=WN, WQ=WQ, WV=WV, WI8=WI8,
         H=H, C1=C1, C2=C2, hbm=hbm, KR=KR, first=first, G=G,
-        tpk=tpk, TO_G=TO_G, TO_Z=TO_Z)
+        tpk=tpk, TO_G=TO_G, TO_Z=TO_Z, CK=CK)
     # packed-tables shapes: ONE [n8, 128] table; row-gather scratches
     # widen to full rows, the per-component ones shrink to dummies
     SW = 128 if tpk else W8          # SMT/table lane width
@@ -1027,13 +1068,13 @@ def factor_fused(n, E, W8, WN, WI8, H, C1, C2,
         scratch.append(pltpu.SemaphoreType.DMA(()))   # sem (table DMA)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(nc,),
+        grid=(ncg,),
         in_specs=[
-            pl.BlockSpec((1, 1, 3 * H + 4), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, CK, 3 * H + 4), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 5, C1), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, CK * 5, C1), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 5, C2), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, CK * 5, C2), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             val_space,
         ] + ([] if first else [
@@ -1068,7 +1109,7 @@ def factor_fused(n, E, W8, WN, WI8, H, C1, C2,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(hmeta[:, None, :], ev1, ev2, val_in,
+    )(hmeta, ev1, ev2, val_in,
       *(() if first else tables))
 
 
@@ -1079,12 +1120,9 @@ def _solve_kernel(cnt_ref, ev1, ev2, val, SMT, GT, TZ, X_in,
                   mT2, bT2, iT2, acc0b, acc1b, pA2, pB2, qb2, facc,
                   *extra, n, E, W8, Ws8, WNS, WQ, WV, WI8, C1, C2, hbm,
                   KR, G=1, a_g=True, tab_g=True, tpk=False, TO_G=0,
-                  TO_Z=0, x_hbm=False):
+                  TO_Z=0, x_hbm=False, CK=1):
     sem = extra[0] if (hbm or x_hbm) else None
     i = pl.program_id(0)
-
-    def cnts(a, b, j):
-        return cnt_ref[0, 0, j]
     if tpk:
         GT = TZ = SMT                 # the single packed table
 
@@ -1098,26 +1136,36 @@ def _solve_kernel(cnt_ref, ev1, ev2, val, SMT, GT, TZ, X_in,
             X[:] = X_in[:]
         facc[:] = jnp.zeros_like(facc)
 
-    vh = (x_hbm, hbm, x_hbm)
-    fl = cnts(0, 0, 3)
-    _pass_body(C1, Ws8, Ws8, W8, WNS, WQ, WV, n, cnts(0, 0, 1), ev1, X,
-               val, SMT, GT, TZ, gat_t, gat_m, gat_a, gat_b, gat_g,
-               gat_z, gat_dm, scat,
-               (mT1, bT1, iT1, acc0a, acc1a, pA1, pB1, qb1),
-               facc, X, flag_slot=3, hbm=vh, sem=sem, KR=KR,
-               has_ab=False, m0=(fl & 1) != 0, d0=(fl & 4) != 0,
-               G=G, a_g=a_g, tab_g=tab_g,
-               um=(fl & 16) != 0, ud=(fl & 32) != 0,
-               tpk=tpk, TO_G=TO_G, TO_Z=TO_Z, KRT=1 if x_hbm else KR)
-    _pass_body(C2, Ws8, Ws8, W8, WNS, WQ, WV, n, cnts(0, 0, 2), ev2, X,
-               val, SMT, GT, TZ, gat_t, gat_m, gat_a, gat_b, gat_g,
-               gat_z, gat_dm, scat,
-               (mT2, bT2, iT2, acc0b, acc1b, pA2, pB2, qb2),
-               facc, X, flag_slot=4, hbm=vh, sem=sem, KR=KR,
-               has_ab=True, m0=(fl & 2) != 0, d0=(fl & 8) != 0,
-               G=G, a_g=a_g, tab_g=tab_g,
-               um=(fl & 64) != 0, ud=(fl & 128) != 0,
-               tpk=tpk, TO_G=TO_G, TO_Z=TO_Z, KRT=1 if x_hbm else KR)
+    def _sub(k2):
+        def cnts(a, b, j):
+            return cnt_ref[0, k2, j]
+
+        evo = 5 * k2
+        vh = (x_hbm, hbm, x_hbm)
+        fl = cnts(0, 0, 3)
+        _pass_body(C1, Ws8, Ws8, W8, WNS, WQ, WV, n, cnts(0, 0, 1),
+                   ev1, X, val, SMT, GT, TZ, gat_t, gat_m, gat_a,
+                   gat_b, gat_g, gat_z, gat_dm, scat,
+                   (mT1, bT1, iT1, acc0a, acc1a, pA1, pB1, qb1),
+                   facc, X, flag_slot=3, hbm=vh, sem=sem, KR=KR,
+                   has_ab=False, m0=(fl & 1) != 0, d0=(fl & 4) != 0,
+                   G=G, a_g=a_g, tab_g=tab_g,
+                   um=(fl & 16) != 0, ud=(fl & 32) != 0,
+                   tpk=tpk, TO_G=TO_G, TO_Z=TO_Z,
+                   KRT=1 if x_hbm else KR, evo=evo)
+        _pass_body(C2, Ws8, Ws8, W8, WNS, WQ, WV, n, cnts(0, 0, 2),
+                   ev2, X, val, SMT, GT, TZ, gat_t, gat_m, gat_a,
+                   gat_b, gat_g, gat_z, gat_dm, scat,
+                   (mT2, bT2, iT2, acc0b, acc1b, pA2, pB2, qb2),
+                   facc, X, flag_slot=4, hbm=vh, sem=sem, KR=KR,
+                   has_ab=True, m0=(fl & 2) != 0, d0=(fl & 8) != 0,
+                   G=G, a_g=a_g, tab_g=tab_g,
+                   um=(fl & 64) != 0, ud=(fl & 128) != 0,
+                   tpk=tpk, TO_G=TO_G, TO_Z=TO_Z,
+                   KRT=1 if x_hbm else KR, evo=evo)
+
+    for k2 in range(CK):
+        _sub(k2)
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _fin():
@@ -1126,10 +1174,11 @@ def _solve_kernel(cnt_ref, ev1, ev2, val, SMT, GT, TZ, X_in,
 
 @functools.partial(jax.jit, static_argnames=(
     "n", "E", "W8", "Ws8", "WNS", "WI8", "C1", "C2", "hbm", "G", "a_g",
-    "tab_g", "tpk", "x_hbm"))
+    "tab_g", "tpk", "x_hbm", "CK"))
 def solve_fused(n, E, W8, Ws8, WNS, WI8, C1, C2,
                 cnts, ev1, ev2, val, SMT, GT, TZ, X_in, hbm=False,
-                G=1, a_g=True, tab_g=True, tpk=False, x_hbm=False):
+                G=1, a_g=True, tab_g=True, tpk=False, x_hbm=False,
+                CK=1):
     """Run the solve stream (fwd + det + bwd). Returns (X, flags).
 
     G > 1 = member-lane batching of G solve streams (X member-ized,
@@ -1150,10 +1199,24 @@ def solve_fused(n, E, W8, Ws8, WNS, WI8, C1, C2,
     assert not tpk or (G == 1 and a_g and tab_g)
     assert not x_hbm or (G == 1 and Ws8 <= 128)
     TO_G, TO_Z = W8, W8 + WI8
+    # fold CK sub-chunks per grid step (same trick as factor_fused)
+    ncg = -(-nc // CK)
+    padc = ncg * CK - nc
+    if padc:
+        cnts = jnp.concatenate(
+            [cnts, jnp.zeros((padc, 4), jnp.int32)])
+        ev1 = jnp.concatenate(
+            [ev1, jnp.zeros((padc, 5, C1), jnp.int32)])
+        ev2 = jnp.concatenate(
+            [ev2, jnp.zeros((padc, 5, C2), jnp.int32)])
+    cnts = cnts.reshape(ncg, CK, 4)
+    ev1 = ev1.reshape(ncg, CK * 5, C1)
+    ev2 = ev2.reshape(ncg, CK * 5, C2)
     kern = functools.partial(
         _solve_kernel, n=n, E=E, W8=W8, Ws8=Ws8, WNS=WNS, WQ=WQ, WV=WV,
         WI8=WI8, C1=C1, C2=C2, hbm=hbm, KR=KR, G=G, a_g=a_g,
-        tab_g=tab_g, tpk=tpk, TO_G=TO_G, TO_Z=TO_Z, x_hbm=x_hbm)
+        tab_g=tab_g, tpk=tpk, TO_G=TO_G, TO_Z=TO_Z, x_hbm=x_hbm,
+        CK=CK)
     MW = 128 if tpk else W8
     val_space = (pl.BlockSpec(memory_space=pl.ANY) if hbm else
                  pl.BlockSpec((val.shape[0], W8), lambda i: (0, 0),
@@ -1196,13 +1259,13 @@ def solve_fused(n, E, W8, Ws8, WNS, WI8, C1, C2,
                             memory_space=pltpu.VMEM))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(nc,),
+        grid=(ncg,),
         in_specs=[
-            pl.BlockSpec((1, 1, 4), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, CK, 4), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 5, C1), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, CK * 5, C1), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 5, C2), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, CK * 5, C2), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             val_space,
             pl.BlockSpec(SMT.shape, lambda i: (0, 0),
@@ -1231,16 +1294,17 @@ def solve_fused(n, E, W8, Ws8, WNS, WI8, C1, C2,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(cnts[:, None, :], ev1, ev2, val, SMT, GT, TZ, X_in)
+    )(cnts, ev1, ev2, val, SMT, GT, TZ, X_in)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "n", "E", "W8", "Ws8", "WN", "WNS", "WI8", "H", "C1", "C2", "hbm",
-    "segments", "ssegments", "G", "tpk"))
+    "segments", "ssegments", "G", "tpk", "CK"))
 def fused_solve_all(n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2,
                     fhm, fev1, fev2,
                     scnt, sev1, sev2, val_in, b_rows, hbm=False,
-                    segments=None, ssegments=None, G=1, tpk=False):
+                    segments=None, ssegments=None, G=1, tpk=False,
+                    CK=1):
     """ONE XLA program for the whole exact solve: factor stream, every
     RHS solve stream, and a single flat int32 result vector
 
@@ -1310,7 +1374,7 @@ def fused_solve_all(n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2,
         val_d, SMT_d, GT_d, TZ_d, fflags = factor_fused(
             n, E, W8s, WNs, WIs, H, C1, C2,
             fhm[lo:hi], fev1[lo:hi], fev2[lo:hi], val_d, hbm=hbms,
-            tables=tables, G=G, tpk=tpk)
+            tables=tables, G=G, tpk=tpk, CK=CK)
         fparts.append(fflags[:2, :G].reshape(-1))
         prev = (W8s, WIs, hbms)
     hbm = prev[2]
@@ -1361,7 +1425,7 @@ def fused_solve_all(n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2,
                 n, E, W8, Ws_s, WNS_s, WIf, C1, C2,
                 scnt[lo:hi], sev1[lo:hi], sev2[lo:hi],
                 val_d, SMT_d, GT_d, TZ_d, X_d, hbm=False,
-                G=R8, a_g=False, tab_g=False)  # (tpk never here)
+                G=R8, a_g=False, tab_g=False, CK=CK)  # (tpk never here)
             parts.append(sflags[:2, :R8].reshape(-1))
             pWs = Ws_s
         parts.append(X_d[:n * R8].reshape(-1))
@@ -1389,7 +1453,7 @@ def fused_solve_all(n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2,
                 n, E, W8, Ws_s, WNS_s, WIf, C1, C2,
                 scnt[lo:hi], sev1[lo:hi], sev2[lo:hi],
                 val_d, SMT_d, GT_d, TZ_d, X_d, hbm=hbm, G=G,
-                tpk=tpk, x_hbm=x_hbm)
+                tpk=tpk, x_hbm=x_hbm, CK=CK)
             parts.append(sflags[:2, :G].reshape(-1))
             pWs = Ws_s
         parts.append(X_d[:n * G, :Ws8].reshape(-1))
@@ -1398,11 +1462,11 @@ def fused_solve_all(n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2,
 
 @functools.partial(jax.jit, static_argnames=(
     "n", "E", "W8", "Ws8", "WN", "WNS", "WI8", "H", "C1", "C2", "hbm",
-    "segments", "G"))
+    "segments", "G", "CK"))
 def fused_solve_many(n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2, G,
                      fhm, fev1, fev2,
                      scnt, sev1, sev2, val_stack, b_stack, hbm=False,
-                     segments=None):
+                     segments=None, CK=1):
     """G pattern-sharing systems in ONE XLA program (SURVEY §2.10 data-
     parallel axis), MEMBER-LANE batched: the schedule/streams are
     shared, each member brings its own value table (val_stack[g]) and
@@ -1420,7 +1484,7 @@ def fused_solve_many(n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2, G,
         n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2,
         fhm, fev1, fev2,
         scnt, sev1, sev2, val_il, b_stack, hbm=False,
-        segments=segments, G=G)
+        segments=segments, G=G, CK=CK)
 
 
 # ---------------------------------------------------------------------------

@@ -104,3 +104,20 @@ def test_sharded_fused_cancellation_falls_back():
                                       opts, **CAPS)
     for i in range(4):
         assert x.x[i, 0] == x_ref.x[i, 0], i
+
+
+def test_sharded_fused_runs_sharded_not_fallback():
+    """Regression guard: the sharded program must produce its result
+    itself — garbage flags (e.g. an event-layout mismatch) would
+    silently reroute every solve through the single-chip fallback and
+    still pass parity."""
+    from slip_lu_tpu.stats import last_stats
+    A, b = _sys(12, seed=9)
+    opts = Options()
+    mesh = make_mesh(jax.devices()[:2])
+    x = factorize_solve_fused_sharded(A, analyze(A, opts), b, mesh,
+                                      opts, **CAPS)
+    st = last_stats()
+    assert st.backend == "tpu-fused-sharded", st.backend
+    assert not st.fallback
+    check_solution(A, x, b)
