@@ -89,6 +89,68 @@ def etree_interleave(A: SlipMatrix, q: np.ndarray) -> np.ndarray:
     return q[np.argsort(level, kind="stable")]
 
 
+def identity_fill_estimate(A: SlipMatrix, cap: int) -> int:
+    """Strictly-lower Cholesky fill of pattern(A + A') under the
+    NATURAL order — exact symbolic elimination by the first-neighbor
+    merge (each eliminated column's remaining structure folds into its
+    etree parent), O(fill) set work. Stops early and returns `cap`
+    once the count passes it: only the comparison with the other
+    orderings' estimates matters (Ordering.AUTO)."""
+    n = A.n
+    adj = [set() for _ in range(n)]
+    for col in range(n):
+        for idx in range(int(A.p[col]), int(A.p[col + 1])):
+            row = int(A.i[idx])
+            if row > col:
+                adj[col].add(row)
+            elif row < col:
+                adj[row].add(col)
+    fill = 0
+    for j in range(n):
+        s = adj[j]
+        fill += len(s)
+        if fill > cap:
+            return cap
+        if s:
+            m = min(s)
+            s.discard(m)
+            adj[m] |= s
+        adj[j] = None
+    return fill
+
+
+def _auto_order(A: SlipMatrix, options: Options):
+    """Ordering.AUTO: take the minimum estimated fill among
+    COLAMD / AMD / identity (see Ordering docstring). The identity
+    estimate is capped at the best fill-reducing estimate, so a bad
+    natural order costs O(best estimate) symbolic work, not O(n^2)."""
+    from .ordering.native import amd_order_best, colamd_order_best
+    n = A.n
+    cands = []
+    qc, ec = colamd_order_best(A, want_fill=True)
+    if ec is not None:
+        cands.append((int(ec), 1, qc))
+    qa, ea = amd_order_best(A, want_fill=True)
+    if ea is not None:
+        cands.append((int(ea), 2, qa))
+    if not cands:
+        # native engine unavailable: keep the reference default
+        return qc, None
+    cap = min(c[0] for c in cands)
+    # cap+1 keeps equality meaningful (a capped return means "worse"),
+    # and ties prefer the identity (candidate code 0 sorts first):
+    # it costs no permutation and keeps natural structure
+    ei = identity_fill_estimate(A, cap + 1)
+    if ei <= cap:
+        cands.append((ei, 0, np.arange(n, dtype=np.int64)))
+    est, _, q = min(cands, key=lambda c: (c[0], c[1]))
+    if options.print_level >= 1:
+        picked = {0: "NONE", 1: "COLAMD", 2: "AMD"}[min(
+            cands, key=lambda c: (c[0], c[1]))[1]]
+        print(f"analyze: AUTO ordering -> {picked} (est fill {est})")
+    return q, est
+
+
 def analyze(A: SlipMatrix, options: Optional[Options] = None) -> Analysis:
     """Compute the column ordering for REF LU (reference: SLIP_LU_analyze)."""
     options = options or Options()
@@ -110,6 +172,8 @@ def analyze(A: SlipMatrix, options: Optional[Options] = None) -> Analysis:
     elif options.order == Ordering.COLAMD:
         from .ordering.native import colamd_order_best
         q, est_fill = colamd_order_best(A, want_fill=True)
+    elif options.order == Ordering.AUTO:
+        q, est_fill = _auto_order(A, options)
     else:
         raise SlipIncorrectInputError(f"unknown ordering {options.order!r}")
 

@@ -29,8 +29,10 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("matrix", help="triplet-format matrix file")
     p.add_argument("rhs", nargs="?", default=None,
                    help="dense RHS file (default: b = A @ ones)")
-    p.add_argument("--order", choices=["none", "colamd", "amd"],
-                   default="colamd", help="fill-reducing column ordering")
+    p.add_argument("--order", choices=["none", "colamd", "amd", "auto"],
+                   default="colamd",
+                   help="fill-reducing column ordering (auto: pick the "
+                        "minimum estimated fill among none/colamd/amd)")
     p.add_argument("--pivot",
                    choices=["smallest", "diagonal", "first", "tol-smallest",
                             "tol-largest", "largest"],
@@ -72,7 +74,7 @@ def main(argv=None) -> int:
     from .options import Options, Ordering, Pivot
 
     order = {"none": Ordering.NONE, "colamd": Ordering.COLAMD,
-             "amd": Ordering.AMD}[args.order]
+             "amd": Ordering.AMD, "auto": Ordering.AUTO}[args.order]
     pivot = {"smallest": Pivot.SMALLEST, "diagonal": Pivot.DIAGONAL,
              "first": Pivot.FIRST_NONZERO, "tol-smallest": Pivot.TOL_SMALLEST,
              "tol-largest": Pivot.TOL_LARGEST,

@@ -157,3 +157,40 @@ def test_est_fill_seeds_analysis_and_bounds_actual_fill():
         assert ana.lnz >= actual_lnz, (name, ana.lnz, actual_lnz)
         checked += 1
     assert checked >= 10
+
+
+def test_auto_ordering_picks_natural_for_banded():
+    """Ordering.AUTO (framework extension): a banded matrix whose
+    natural order is fill-free must pick the identity; the solve stays
+    exact either way."""
+    from slip_lu_tpu import Options, analyze, backslash
+    from slip_lu_tpu.analyze import identity_fill_estimate
+    from slip_lu_tpu.options import Ordering
+
+    n = 60
+    dense = np.zeros((n, n), dtype=object)
+    for i in range(n):
+        dense[i, i] = 3
+        if i + 1 < n:
+            dense[i + 1, i] = 1     # tridiagonal: natural fill = n-1
+            dense[i, i + 1] = 1
+    A = matrix_copy(SlipMatrix.from_dense(dense, Type.MPZ),
+                    Kind.CSC, Type.MPZ)
+    assert identity_fill_estimate(A, 10**9) == n - 1
+    ana = analyze(A, Options(order=Ordering.AUTO))
+    assert np.array_equal(np.asarray(ana.q), np.arange(n))
+    b = SlipMatrix.from_dense(
+        np.array([[1]] * n, dtype=object), Type.MPZ)
+    x = backslash(A, b, Type.MPQ, Options(order=Ordering.AUTO,
+                                          check=True))
+    assert x.shape == (n, 1)
+
+
+def test_auto_ordering_valid_on_random(rng):
+    from slip_lu_tpu import Options, analyze
+    from slip_lu_tpu.options import Ordering
+
+    A = matrix_copy(random_sparse_int(40, density=0.25, rng=rng),
+                    Kind.CSC, Type.MPZ)
+    ana = analyze(A, Options(order=Ordering.AUTO))
+    assert sorted(int(v) for v in ana.q) == list(range(40))
