@@ -100,8 +100,15 @@ def factorize_solve_fused_sharded(A: SlipMatrix, analysis: Analysis,
             analysis.fused_shard_cache = (key, (sched, r, ses, avals))
     st.lnz, st.unz = ses.lnz, ses.unz
     E = ses.nnz
-    E8 = _r8(E + 1)
-    fb_idx, fb_mbc = _pad_bc(ses.factor, E)
+    Lp8 = _r8(ses.Lp)
+    # factor bc indices are per-chip LOCAL (partitioned value table);
+    # solve bc indices are global X rows (X is full per chip)
+    CBf8 = max(8, _r8(ses.factor.CB))
+    nc_f = ses.factor.nchunks
+    fb_idx = np.full((p, nc_f, CBf8), Lp8 - 1, np.int32)
+    fb_idx[:, :, :ses.bc_loc.shape[2]] = ses.bc_loc
+    fb_mbc = np.zeros((p, nc_f, CBf8), np.int32)
+    fb_mbc[:, :, :ses.factor.mine_bc.shape[2]] = ses.factor.mine_bc
     sb_idx, sb_mbc = _pad_bc(ses.solve, n)
     xown = np.zeros((p, _r8(n)), np.int32)
     for i in range(n):
@@ -141,8 +148,9 @@ def factorize_solve_fused_sharded(A: SlipMatrix, analysis: Analysis,
         WI8 = _r8(max(W8, Ws8) + 2)
         st.W, st.Ws = W8, Ws8
         with phase_timer(st, "pack"):
-            val_in = np.zeros((E8, W8), dtype=np.int32)
-            val_in[np.asarray(ses.init_pos)] = ints_to_tc_rows(
+            # per-chip partitioned value table [p, Lp8, W8]
+            val_in = np.zeros((p, Lp8, W8), dtype=np.int32)
+            val_in[ses.init_chip, ses.init_loc] = ints_to_tc_rows(
                 avals, W8)
             X8 = _r8(n + 1)
             bcols = [[int(bz.x[int(r[k]), c]) for k in range(n)]
@@ -156,7 +164,7 @@ def factorize_solve_fused_sharded(A: SlipMatrix, analysis: Analysis,
                 pass1_events, pass2_events,
                 fb_idx.shape[1], sb_idx.shape[1], nrhs,
                 jnp.asarray(ses.factor.h_step),
-                jnp.asarray(ses.factor.h_slot),
+                jnp.asarray(ses.h_slot_loc),
                 jnp.asarray(ses.factor.h_div),
                 jnp.asarray(ses.factor.mine_diag),
                 jnp.asarray(ses.factor.counts),

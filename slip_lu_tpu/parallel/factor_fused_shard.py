@@ -116,23 +116,31 @@ def _ab_kernel(cnt, hs, hsl, hd, ev1, bidx, bcn, diag_b,
 def _c_kernel(cnt, ev2, bidx, bcn, bc, a_src, SMT, GT, TZ,
               val_in, facc_in, val, facc,
               *scratch, n, E, W8, WN, WQ, WV, WI8, C2, Wt, is_solve):
-    """One chunk: B scatter -> local pass 2."""
+    """One chunk: local pass 2.
+
+    Factor stream (is_solve=False): the B operands are POSITIONS into
+    the psum-broadcast bc buffer and read straight from it — remote
+    slot values are never stored (partitioned value table). Solve
+    stream: B operands are X rows; the broadcast scatters into the
+    full per-chip X first."""
     (gat_t, gat_m, gat_a, gat_b, gat_g, gat_z, gat_dm, scat,
      mT2, bT2, iT2, acc0b, acc1b, pA2, pB2, qb2) = scratch
     fl = cnt[0, 3]
 
-    def sct(e, _):
-        idx = bidx[0, e]
-        val[pl.ds(idx, 1), :] = bc[pl.ds(e, 1), :]
-        return 0
+    if is_solve:
+        def sct(e, _):
+            idx = bidx[0, e]
+            val[pl.ds(idx, 1), :] = bc[pl.ds(e, 1), :]
+            return 0
 
-    lax.fori_loop(0, bcn[0, 0], sct, 0)
+        lax.fori_loop(0, bcn[0, 0], sct, 0)
 
     _pass_body(C2, Wt, Wt, W8, WN, WQ, WV, E, cnt[0, 2], ev2, val,
                a_src, SMT, GT, TZ, gat_t, gat_m, gat_a, gat_b, gat_g,
                gat_z, gat_dm, scat,
                (mT2, bT2, iT2, acc0b, acc1b, pA2, pB2, qb2),
-               facc, val, flag_slot=4, hbm=(False, False, False),
+               facc, val if is_solve else bc, flag_slot=4,
+               hbm=(False, False, False),
                sem=None, KR=1, has_ab=True,
                m0=(fl & 2) != 0, d0=(fl & 8) != 0,
                um=(fl & 64) != 0, ud=(fl & 128) != 0)
@@ -280,7 +288,7 @@ def fused_sharded_solve(mesh: Mesh, n, E, W8, Ws8, WN, WNS, WI8, H,
     scans. Returns a replicated flat int32 vector
     [fsing, fovf, sovf, det (W8), X (nrhs*n*Ws8)]."""
     axes = mesh_axes(mesh)
-    E8v = val0.shape[0]
+    E8v = val0.shape[1]                  # per-chip local table rows
     n8v = _r8(n + 2)
     X8 = X0.shape[1]
     WQ = min(WI8, _r8(W8 + 2))
@@ -294,6 +302,7 @@ def fused_sharded_solve(mesh: Mesh, n, E, W8, Ws8, WN, WNS, WI8, H,
               s_cnt, s_ev1, s_ev2, s_bidx, s_bcnt, s_mbc,
               xown, val0, X0):
         sq = lambda a: a.reshape(a.shape[1:])
+        fhsl, f_bidx, val0 = sq(fhsl), sq(f_bidx), sq(val0)
         f_mdiag, f_cnt = sq(f_mdiag), sq(f_cnt)
         f_ev1, f_ev2, f_mbc = sq(f_ev1), sq(f_ev2), sq(f_mbc)
         s_cnt, s_ev1, s_ev2, s_mbc = (sq(s_cnt), sq(s_ev1), sq(s_ev2),
@@ -308,6 +317,7 @@ def fused_sharded_solve(mesh: Mesh, n, E, W8, Ws8, WN, WNS, WI8, H,
             val, SMT, GT, TZ, facc = carry
             (hs, hsl, hd, mdiag, cnt, e1, e2, bidx, bcnt, mbc) = xs
             # psum#1: owner-masked current diagonals of this chunk
+            # (hsl is this chip's LOCAL index — the dummy row off-chip)
             contrib = val[jnp.minimum(hsl, E8v - 1)] * mdiag[:, None]
             diag_b = lax.psum(contrib, axes)
             diag_b = jnp.concatenate(
@@ -374,10 +384,10 @@ def fused_sharded_solve(mesh: Mesh, n, E, W8, Ws8, WN, WNS, WI8, H,
     sh = lambda a: P(axes, *([None] * (a - 1)))
     fn = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(), P(), P(), sh(3), sh(3), sh(4), sh(4),
-                  P(), P(), sh(3),
+        in_specs=(P(), sh(3), P(), sh(3), sh(3), sh(4), sh(4),
+                  sh(3), P(), sh(3),
                   sh(3), sh(4), sh(4), P(), P(), sh(3),
-                  sh(2), P(), P()),
+                  sh(2), sh(3), P()),
         out_specs=P(),
         check_vma=False,
     )

@@ -81,6 +81,16 @@ class ShardedEventStream:
     solve: ShardedChunks
     lnz: int
     unz: int
+    # --- partitioned value table (set by partition_value_table) ---
+    # each chip stores ONLY the slots of rows it owns, in a local index
+    # space of uniform size Lp (last row = dummy); pass-2 B operands
+    # read the per-chunk broadcast buffer by POSITION, so no slot is
+    # ever mirrored (SURVEY §2.10 block-row partition, memory included)
+    Lp: int = 0                       # local table rows (incl. dummy)
+    h_slot_loc: np.ndarray = None     # [p, nc, H] local diag (or dummy)
+    bc_loc: np.ndarray = None         # [p, nc, CB] owner-local bc idx
+    init_chip: np.ndarray = None      # [nnz(A)] owner chip per A entry
+    init_loc: np.ndarray = None       # [nnz(A)] local slot per A entry
 
 
 class _ShardChunkBuilder:
@@ -314,6 +324,99 @@ def build_sharded_stream(sched: SparseSchedule, p: int,
 
     row_of_ext = np.concatenate([sched.row_of,
                                  [np.int32(n)]]).astype(np.int32)
-    return ShardedEventStream(n=n, nnz=E, p=p, init_pos=sched.init_pos,
-                              row_of=row_of_ext, factor=factor,
-                              solve=solve, lnz=sched.lnz, unz=sched.unz)
+    ses = ShardedEventStream(n=n, nnz=E, p=p, init_pos=sched.init_pos,
+                             row_of=row_of_ext, factor=factor,
+                             solve=solve, lnz=sched.lnz, unz=sched.unz)
+    _partition_value_table(ses)
+    return ses
+
+
+def _partition_value_table(ses: ShardedEventStream) -> None:
+    """Rewrite every value-slot index into per-chip LOCAL spaces.
+
+    Ownership is by row (cyclic). Each chip's table holds exactly its
+    owned slots (+ one dummy row); remote values are never stored:
+      * factor pass-2 B operands become POSITIONS into the chunk's
+        broadcast buffer (the bc list already holds exactly the
+        distinct B slots of the chunk), read directly from the psum
+        result — the post-broadcast scatter disappears;
+      * head diag writes go to the owner's local slot, the dummy row
+        elsewhere (non-owners never read diags from their table — the
+        heads consume the psum-broadcast diagonals);
+      * A operands and all targets are owned by construction (IPGE
+        updates read L(i,k) from the target's own row i).
+    The solve stream keeps its full per-chip X (every X row is
+    broadcast at least once over the solve, so partitioning X saves
+    nothing) but its A operands are value slots and remap too.
+    """
+    p, E, n = ses.p, ses.nnz, ses.n
+    row_of = ses.row_of
+    owner = np.asarray(row_of[:E], np.int64) % p
+    loc = np.full(E + 1, -1, np.int64)
+    counts = np.zeros(p, np.int64)
+    for s_ in range(E):
+        loc[s_] = counts[owner[s_]]
+        counts[owner[s_]] += 1
+    Lp = int(counts.max()) + 1        # + dummy row
+    dummy = Lp - 1
+    loc[E] = dummy                    # global dummy slot -> local dummy
+
+    def local_of(c, s_):
+        if s_ >= E:
+            return dummy
+        return int(loc[s_]) if owner[s_] == c else dummy
+
+    f = ses.factor
+    nc, H = f.h_step.shape
+    CB = f.bc_idx.shape[1]
+    # per-chunk bc position lookup
+    bc_pos = [dict() for _ in range(nc)]
+    for ci in range(nc):
+        for t in range(int(f.bc_cnt[ci])):
+            bc_pos[ci][int(f.bc_idx[ci, t])] = t
+    h_slot_loc = np.full((p, nc, H), dummy, np.int32)
+    bc_loc = np.full((p, nc, CB), dummy, np.int32)
+    for ci in range(nc):
+        for t in range(H):
+            s_ = int(f.h_slot[ci, t])
+            if s_ < E:
+                h_slot_loc[owner[s_], ci, t] = loc[s_]
+        for t in range(int(f.bc_cnt[ci])):
+            s_ = int(f.bc_idx[ci, t])
+            if s_ < E:
+                bc_loc[owner[s_], ci, t] = loc[s_]
+    for c in range(p):
+        for ci in range(nc):
+            n1 = int(f.counts[c, ci, 1])
+            n2 = int(f.counts[c, ci, 2])
+            for t in range(n1):
+                f.ev1[c, ci, t, 0] = local_of(c, int(f.ev1[c, ci, t, 0]))
+                f.ev1[c, ci, t, 3] = dummy
+                f.ev1[c, ci, t, 4] = max(CB - 1, 0)
+            f.ev1[c, ci, n1:, 0] = dummy
+            f.ev1[c, ci, n1:, 3] = dummy
+            f.ev1[c, ci, n1:, 4] = max(CB - 1, 0)
+            for t in range(n2):
+                f.ev2[c, ci, t, 0] = local_of(c, int(f.ev2[c, ci, t, 0]))
+                f.ev2[c, ci, t, 3] = local_of(c, int(f.ev2[c, ci, t, 3]))
+                b = int(f.ev2[c, ci, t, 4])
+                f.ev2[c, ci, t, 4] = bc_pos[ci].get(b, max(CB - 1, 0))
+            f.ev2[c, ci, n2:, 0] = dummy
+            f.ev2[c, ci, n2:, 3] = dummy
+            f.ev2[c, ci, n2:, 4] = max(CB - 1, 0)
+    # solve stream: only the A operands live in value-slot space
+    sv = ses.solve
+    for c in range(p):
+        for ci in range(sv.ev2.shape[1]):
+            n2 = int(sv.counts[c, ci, 2])
+            for t in range(n2):
+                sv.ev2[c, ci, t, 3] = local_of(
+                    c, int(sv.ev2[c, ci, t, 3]))
+            sv.ev2[c, ci, n2:, 3] = dummy
+        sv.ev1[c, :, :, 3] = dummy
+    init_pos = np.asarray(ses.init_pos, np.int64)
+    ses.Lp = Lp
+    ses.h_slot_loc = h_slot_loc
+    ses.bc_loc = bc_loc
+    ses.init_chip = owner[init_pos].astype(np.int32)
+    ses.init_loc = loc[init_pos].astype(np.int32)
