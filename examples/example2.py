@@ -5,7 +5,10 @@
 import os
 import sys
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+try:  # prefer the installed package (pip install -e .)
+    import slip_lu_tpu  # noqa: F401
+except ImportError:  # bare checkout: fall back to the repo root
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import slip_lu_tpu as slip
 

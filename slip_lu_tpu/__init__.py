@@ -32,7 +32,7 @@ from .matrix import Kind, SlipMatrix, Type
 from .options import Options, Ordering, Pivot, RoundMode, default_options
 from .solve import check_solution, solve
 
-__version__ = "0.1.0"
+__version__ = "0.5.0"
 
 _initialized = False
 

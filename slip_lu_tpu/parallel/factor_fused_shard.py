@@ -9,9 +9,10 @@ under shard_map. Per chunk (one sharded superstep):
 Tables (SMT/GT/TZ) are replicated and stay bit-identical on every chip
 because phase A is replicated from psum-broadcast diagonals (integer
 collectives; the same topology-independence argument as
-parallel/factor_sparse_shard.py). The value table is held full-size per
-chip (v1): each chip's copy is authoritative for its own rows,
-refreshed by the broadcasts for everything it reads. All O(W^2) event
+parallel/factor_sparse_shard.py). The value table is PARTITIONED: each
+chip holds only its owned rows' slots ([p, Lp8, W8], built by
+driver_fused.py); pass-2 B operands come from the psum broadcast buffer
+by position, never from local storage of remote rows. All O(W^2) event
 arithmetic is chip-local.
 
 Reference anchor: the k-loop of SLIP_LU_factorize.c (SURVEY §3.2)

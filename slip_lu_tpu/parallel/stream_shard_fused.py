@@ -36,11 +36,11 @@ execution semantics chunk for chunk, so the same cuts make all
 reads/writes conflict-free; integer psums make every topology
 bit-identical to the single-chip kernel.
 
-v1 keeps a full (replicated-size) value table per chip — only the
-COMPUTE is partitioned; each chip's copy is authoritative for its own
-rows and refreshed via the broadcasts for everything it reads. A
-per-chip slot remap (own slots + pivot-row mirrors) is the follow-on
-memory partition.
+The value table is PARTITIONED, not replicated: each chip stores only
+its owned rows' slots (driver_fused.py builds the [p, Lp8, W8] owned
+layout, slots remapped per chip). Pass-2 B operands are read from the
+psum broadcast buffer by position, so remote rows' values are never
+stored locally; only pivot diagonals and B operands travel.
 """
 
 from __future__ import annotations

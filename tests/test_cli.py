@@ -85,3 +85,20 @@ def test_cli_fused_backend(capsys):
                "--backend", "tpu-fused", "--check"])
     assert rc == 0
     assert "verified exactly" in capsys.readouterr().out
+
+
+def test_module_entry_subprocess():
+    # `python -m slip_lu_tpu` — covers __main__.py; also the installed
+    # console form (`sliplu`, pyproject.toml [project.scripts]) since both
+    # call cli.main. Runs on CPU so the test never touches the TPU tunnel.
+    import subprocess
+    import sys
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    root = os.path.join(os.path.dirname(__file__), "..")
+    res = subprocess.run(
+        [sys.executable, "-m", "slip_lu_tpu",
+         os.path.join("data", "ExampleMats", "arrow25_mat.txt"), "--check"],
+        cwd=root, env=env, capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stderr
+    lines = [l for l in res.stdout.splitlines() if l and "check:" not in l]
+    assert all(l.strip() == "1" for l in lines) and len(lines) == 25

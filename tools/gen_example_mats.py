@@ -16,7 +16,10 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+try:  # prefer the installed package (pip install -e .)
+    import slip_lu_tpu  # noqa: F401
+except ImportError:  # bare checkout: fall back to the repo root
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from fractions import Fraction
 

@@ -15,7 +15,10 @@ for the interpret check)
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+try:  # prefer the installed package (pip install -e .)
+    import slip_lu_tpu  # noqa: F401
+except ImportError:  # bare checkout: fall back to the repo root
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 if os.environ.get("JAX_PLATFORMS"):
     import jax
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])

@@ -16,7 +16,10 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+try:  # prefer the installed package (pip install -e .)
+    import slip_lu_tpu  # noqa: F401
+except ImportError:  # bare checkout: fall back to the repo root
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 name = sys.argv[1] if len(sys.argv) > 1 else "grid16"
