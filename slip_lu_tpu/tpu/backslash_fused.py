@@ -196,6 +196,69 @@ def _auto_capacities(sched, n: int):
             int(os.environ.get("SLIP_FUSED_C2", 128)))
 
 
+def _maybe_dissect(A: SlipMatrix, analysis: Analysis,
+                   options: Options) -> None:
+    """One-time per analysis: when the native ordering's dependency
+    forest is a chain (banded matrices under natural/COLAMD order),
+    adopt a dissection reorder so the grouped (subtree-local) streams
+    have independent subtrees to run concurrently.
+
+    Reordered pivot VALUES are arbitrary — exact cancellations in the
+    local chains are likely on integer corpora (leading minors of
+    sub-blocks, unlike the natural-order pivots the corpus was built
+    for) — so the oracle's pivot rows are pinned UPFRONT via one host
+    REF LU (the standard cancellation-replan machinery,
+    slip_get_pivot.c analogue), which also seeds the exact limb width
+    (fused_pin_check), skipping the widen ladder entirely."""
+    if getattr(analysis, "nd_decided", False) \
+            or analysis.sparse_fixed_r is not None:
+        return
+    analysis.nd_decided = True
+    n = A.n
+    if n < 192 or os.environ.get("SLIP_FUSED_SUBTREE", "1") == "0":
+        return
+    from .schedule_subtree import (dependency_forest, dissect_order,
+                                   partition_groups)
+    q0 = np.asarray(analysis.q, dtype=np.int64)
+    q0, built = _resolve_order(A, analysis, q0, None)
+    sched0, r0 = built if built is not None \
+        else build_schedule_best(A, q0, None)
+    analysis.fused_sched_only_cache = (None, (sched0, r0))
+    if partition_groups(dependency_forest(sched0)) is not None:
+        return                  # decomposes natively: no reorder
+    q_nd = dissect_order(A)
+    sched_nd, r_nd = build_schedule_best(A, q_nd, None)
+    if sched_nd.lnz + sched_nd.unz > 1.9 * (sched0.lnz + sched0.unz):
+        return                  # fill guard: reorder not worth it
+    from .schedule_subtree import pin_rows_per_group
+    gr = partition_groups(dependency_forest(sched_nd))
+    if gr is None:
+        return
+    # reordered pivot VALUES are arbitrary: repair exact cancellations
+    # with pivoting confined to each group's block (a global fallback
+    # would grab separator rows and destroy the decomposition)
+    fixed_r = pin_rows_per_group(A, q_nd, r_nd, gr)
+    if fixed_r is None:
+        return                  # a block is singular: stay native
+    old_q = analysis.q
+    analysis.q = q_nd
+    from ..errors import SlipSingularError
+    from ..factorize import factorize
+    try:
+        # certify the composed sequence end to end on host (top pivots
+        # are still the transversal's and may cancel) and capture the
+        # exact limb width, skipping the device widen ladder
+        F = factorize(A, analysis, options, fixed_r=fixed_r)
+    except SlipSingularError:
+        analysis.q = old_q      # top cancellation: stay native
+        return
+    analysis.sparse_fixed_r = fixed_r
+    Wx = _tc_width((v for col in (F.Lcols + F.Ucols)
+                    for _, v in col), 1 << 30) + 1
+    analysis.fused_pin_check = (fixed_r.tobytes(), Wx)
+    analysis.fused_sched_only_cache = None
+
+
 def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
                               b: SlipMatrix,
                               options: Optional[Options] = None,
@@ -223,6 +286,7 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
     if n == 0:
         return SlipMatrix.allocate(Kind.DENSE, Type.MPQ, 0, nrhs)
     st = SolveStats(backend="tpu-fused", n=n, nnz=int(A.p[n]), nrhs=nrhs)
+    _maybe_dissect(A, analysis, options)
     q = np.asarray(analysis.q, dtype=np.int64)
     fixed_r = analysis.sparse_fixed_r   # cached repair from earlier solves
 
@@ -251,6 +315,25 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
                 sched, r, es, dev_streams, avals = cache[1]
             else:
                 es = build_event_stream(sched, heads_per_chunk, p1, p2)
+                subtree_mode = os.environ.get("SLIP_FUSED_SUBTREE", "1")
+                if subtree_mode != "0":
+                    # subtree-local (grouped) streams: independent
+                    # etree subtrees factor concurrently with deferred
+                    # determinant scaling (tpu/schedule_subtree.py) —
+                    # adopted when they shorten the serial chunk scan
+                    # ("force" adopts any decomposition — tests)
+                    from .schedule_subtree import try_build_grouped
+                    # grouped streams are fix-heavy (stale clone /
+                    # cross-round targets): pass-1 capacity doubles so
+                    # C1 cuts stop dominating the scan (measured:
+                    # 177 -> 117 chunks on the dissected band probe)
+                    es_g = try_build_grouped(sched, 8, max(64, p1), p2)
+                    if es_g is not None and (
+                            subtree_mode == "force"
+                            or es_g.factor.nchunks + es_g.solve.nchunks
+                            < 0.85 * (es.factor.nchunks
+                                      + es.solve.nchunks)):
+                        es = es_g
                 dev_streams = _stream_arrays(es)
                 Aq = _permute_cols(A, q)
                 avals = [int(Aq.x[idx]) for c in range(n)
@@ -260,6 +343,11 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
         st.lnz, st.unz = es.lnz, es.unz
         (fhm, fev1, fev2, scnt, sev1, sev2) = dev_streams
         E = es.nnz
+        es_H = int(es.factor.h_step.shape[1])   # H the stream was built
+        #                                         with (grouped uses 8)
+        es_C1 = int(es.factor.ev1.shape[1])     # capacities likewise
+        es_C2 = int(es.factor.ev2.shape[1])     # (grouped doubles C1)
+        ndet_eff = n if es.ndet is None else es.ndet
 
         # --- width strategy: optimistic start + sound widen-and-retry --
         # The analytic Hadamard bound (W_full) is often 4-40x wider than
@@ -277,6 +365,13 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
             analysis.hadamard_bits_cache = hbits
         W_full = factor_width(A, hbits=hbits)
         Ws_full = solve_width(A, bz.x, W_full, n, hbits=hbits)
+        if es.ndet is not None:
+            # grouped merge intermediates (clone terms scaled by
+            # determinant products, fold partial sums) can exceed the
+            # single-minor bound by a few bits — one limb of headroom
+            # keeps the ladder-exhaustion invariant sound
+            W_full += 1
+            Ws_full += 1
         W_in = _input_width(avals)
         Wb_in = _input_width(bz.x.reshape(-1))
         if options.max_limbs is not None:
@@ -332,7 +427,7 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
             # widths fit one row (W8 + WI8 + 1 <= 128) they fuse into
             # a single [n8, 128] table instead (factor_fused._pass_body
             # docstring). Runs single-segment (widths are small here).
-            n8v = _r8(n + 2)
+            n8v = _r8(ndet_eff + 2)
             tpk_budget = int(os.environ.get("SLIP_TPK_BUDGET",
                                             64 * 2**20))
             tpk = (n8v * 128 * 4 * 3 > tpk_budget)
@@ -366,6 +461,10 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
                     val_in = np.zeros((E8, WV), dtype=np.int32)
                     val_in[np.asarray(es.init_pos), :w0] = ints_to_tc_rows(
                         avals, w0)
+                    if es.extra_pos is not None and len(es.extra_pos):
+                        # grouped streams: constant / scratch slots
+                        val_in[np.asarray(es.extra_pos), :w0] = \
+                            ints_to_tc_rows(es.extra_vals, w0)
                     if hbm_mode:
                         val_in = val_in.reshape(E8 * (WV // 128), 128)
                     val_dev = jnp.asarray(val_in)
@@ -395,13 +494,13 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
                 # ~45 ms per host sync, so never go piecemeal)
                 try:
                     flat = np.asarray(jax.device_get(fused_solve_all(
-                        n, E, W8, Ws8, WN, WNS, WI8, heads_per_chunk,
-                        p1, p2,
+                        n, E, W8, Ws8, WN, WNS, WI8, es_H,
+                        es_C1, es_C2,
                         fhm, fev1, fev2,
                         scnt, sev1, sev2, val_dev, jnp.asarray(b_rows),
                         hbm=hbm_mode, segments=segments,
                         ssegments=ssegments, tpk=tpk,
-                        CK=_auto_ck())))
+                        CK=_auto_ck(), ndet=es.ndet, nxx=es.nxx)))
                 except jax.errors.JaxRuntimeError as e:
                     # a width rung too wide to COMPILE (tables overflow
                     # scoped VMEM) is ladder exhaustion, not a crash:

@@ -1299,12 +1299,12 @@ def solve_fused(n, E, W8, Ws8, WNS, WI8, C1, C2,
 
 @functools.partial(jax.jit, static_argnames=(
     "n", "E", "W8", "Ws8", "WN", "WNS", "WI8", "H", "C1", "C2", "hbm",
-    "segments", "ssegments", "G", "tpk", "CK"))
+    "segments", "ssegments", "G", "tpk", "CK", "ndet", "nxx"))
 def fused_solve_all(n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2,
                     fhm, fev1, fev2,
                     scnt, sev1, sev2, val_in, b_rows, hbm=False,
                     segments=None, ssegments=None, G=1, tpk=False,
-                    CK=1):
+                    CK=1, ndet=None, nxx=0):
     """ONE XLA program for the whole exact solve: factor stream, every
     RHS solve stream, and a single flat int32 result vector
 
@@ -1339,8 +1339,16 @@ def fused_solve_all(n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2,
     vectors: [per factor segment: sing*G, ovf*G] [det: G*W8]
     [per rhs: per solve segment: sing*G, ovf*G; X: n*G*Ws8 rows
     interleaved (j*G + g)]. G == 1 keeps the exact legacy layout.
+
+    Grouped (subtree-local) streams pass ndet = the table row holding
+    the determinant (local chains + PD + top rows, so > n; see
+    tpu/schedule_subtree.py) and nxx = extra X clone rows appended
+    after the dummy row n. Defaults keep the classic layout (ndet=n,
+    nxx=0). Only X rows [0, n) are returned either way.
     """
     from .relift import relift_gt, widen_tc, widen_val
+    if ndet is None:
+        ndet = n
     if segments is None:
         segments = ((0, fhm.shape[0], W8),)
     E8 = _r8(E + 1)
@@ -1372,14 +1380,14 @@ def fused_solve_all(n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2,
             GT_d = relift_gt(SMT_d, GT_d, TZ_d, W8s, pWI, WIs)
             tables = (SMT_d, GT_d, TZ_d)
         val_d, SMT_d, GT_d, TZ_d, fflags = factor_fused(
-            n, E, W8s, WNs, WIs, H, C1, C2,
+            ndet, E, W8s, WNs, WIs, H, C1, C2,
             fhm[lo:hi], fev1[lo:hi], fev2[lo:hi], val_d, hbm=hbms,
             tables=tables, G=G, tpk=tpk, CK=CK)
         fparts.append(fflags[:2, :G].reshape(-1))
         prev = (W8s, WIs, hbms)
     hbm = prev[2]
-    parts = fparts + [SMT_d[n * G:(n + 1) * G, :W8].reshape(-1)]
-    X8G = _r8((n + 1) * G)
+    parts = fparts + [SMT_d[ndet * G:(ndet + 1) * G, :W8].reshape(-1)]
+    X8G = _r8((n + 1 + nxx) * G)
     if G == 1:
         b_rows = b_rows[None]
     nrhs, _, Wb = b_rows.shape[1:]
@@ -1414,7 +1422,7 @@ def fused_solve_all(n, E, W8, Ws8, WN, WNS, WI8, H, C1, C2,
                 [col, jnp.broadcast_to(col[0:1], (R8 - nrhs,) +
                                        col.shape[1:])], axis=0)
         xr = col.transpose(1, 0, 2).reshape(n * R8, Ws0)
-        X8R = _r8((n + 1) * R8)
+        X8R = _r8((n + 1 + nxx) * R8)
         X_d = jnp.zeros((X8R, Ws0), jnp.int32).at[:n * R8].set(xr)
         pWs = Ws0
         for (lo, hi, Ws_s) in ssegments:

@@ -77,6 +77,12 @@ class EventStream:
     solve: StreamChunks       # targets are X rows; A from val, B from X
     lnz: int
     unz: int
+    # grouped (subtree-local) streams only — tpu/schedule_subtree.py:
+    ndet: Optional[int] = None   # determinant table row (None -> n)
+    nxx: int = 0                 # extra X rows (solve clone slots)
+    extra_pos: Optional[np.ndarray] = None  # extra value-slot inits
+    extra_vals: Optional[list] = None
+    grouped: object = None       # Grouping (diagnostics)
 
 
 class _ChunkBuilder:
@@ -137,9 +143,18 @@ class _ChunkBuilder:
         # chunk's phase A. A same-chunk read would see garbage, so cut
         # the chunk. (div == k is the identity fix; the kernel skips it
         # without touching GT/TZ, so it may share freely.)
+        #
+        # SMT[k] hazard: a fix-head whose chain predecessor (head k-1)
+        # shares the chunk is only repaired by the kernel's sequential
+        # refine when the two are ADJACENT in the head list
+        # (_heads_phase checks ks[t-1] == k-1); grouped round-robin
+        # emission can interleave other groups' heads between chain
+        # links, so cut unless the predecessor was the last head added.
         if (len(self.h) == self.H or slot in self.w1 or slot in self.w2
                 or slot in self.r2
-                or (div != k and (div - 1) in self.hsteps)):
+                or (div != k and (div - 1) in self.hsteps)
+                or (div != k and (k - 1) in self.hsteps
+                    and (not self.h or self.h[-1][0] != k - 1))):
             self._flush()
         self.h.append([k, slot, div])
         self.hsteps.add(k)

@@ -31,12 +31,19 @@ def _exact_div(a: int, d: int) -> int:
 
 
 def replay_stream(es, avals, b_rows, n):
-    """Execute the streams with Python ints, phase-accurate."""
+    """Execute the streams with Python ints, phase-accurate.
+
+    Also handles grouped (subtree-local) streams: chain tables sized to
+    es.ndet rows, extra value-slot inits, X clone rows (es.nxx)."""
     E = es.nnz
     val = [0] * (E + 1)
     for v, s in zip(avals, es.init_pos):
         val[int(s)] = int(v)
-    SMT = [0] * (n + 1)
+    if es.extra_pos is not None:
+        for s, v in zip(es.extra_pos, es.extra_vals):
+            val[int(s)] = int(v)
+    R = n if es.ndet is None else es.ndet
+    SMT = [0] * (R + 1)
     SMT[0] = 1
     sing = False
 
@@ -57,7 +64,10 @@ def replay_stream(es, avals, b_rows, n):
             if k < 0:
                 continue
             s, d = int(f.h_slot[c, t]), int(f.h_div[c, t])
-            rho = _exact_div(val[s] * SMT[k], SMT[d])
+            # d == k: skip-fix head — the kernel takes the diagonal as
+            # the rho without arithmetic (_heads_phase fixm mask)
+            rho = val[s] if d == k else _exact_div(val[s] * SMT[k],
+                                                   SMT[d])
             if rho == 0:
                 sing = True
                 rho = 1
@@ -67,7 +77,8 @@ def replay_stream(es, avals, b_rows, n):
             run_pass(val, [tuple(int(x) for x in ev[c, e])
                            for e in range(ev.shape[1])], val)
 
-    X = [list(r) for r in b_rows] + [[0] * len(b_rows[0])]
+    X = [list(r) for r in b_rows] \
+        + [[0] * len(b_rows[0]) for _ in range(1 + es.nxx)]
     s = es.solve
     for c in range(s.nchunks):
         for evarr in (s.ev1, s.ev2):
@@ -81,7 +92,7 @@ def replay_stream(es, avals, b_rows, n):
             for t, v in outs:
                 X[t] = v
             X[n] = [0] * len(X[0])
-    det = SMT[n]
+    det = SMT[R]
     return val, X, det, sing
 
 
