@@ -196,67 +196,63 @@ def _auto_capacities(sched, n: int):
             int(os.environ.get("SLIP_FUSED_C2", 128)))
 
 
-def _maybe_dissect(A: SlipMatrix, analysis: Analysis,
-                   options: Options) -> None:
+def _dissect_candidate(A: SlipMatrix, analysis: Analysis,
+                       options: Options):
     """One-time per analysis: when the native ordering's dependency
     forest is a chain (banded matrices under natural/COLAMD order),
-    adopt a dissection reorder so the grouped (subtree-local) streams
-    have independent subtrees to run concurrently.
+    prepare — but do NOT commit — a dissection reorder so the grouped
+    (subtree-local) streams have independent subtrees.
 
     Reordered pivot VALUES are arbitrary — exact cancellations in the
-    local chains are likely on integer corpora (leading minors of
-    sub-blocks, unlike the natural-order pivots the corpus was built
-    for) — so the oracle's pivot rows are pinned UPFRONT via one host
-    REF LU (the standard cancellation-replan machinery,
-    slip_get_pivot.c analogue), which also seeds the exact limb width
-    (fused_pin_check), skipping the widen ladder entirely."""
-    if getattr(analysis, "nd_decided", False) \
-            or analysis.sparse_fixed_r is not None:
-        return
-    analysis.nd_decided = True
+    local chains are likely on integer corpora — so cancellations are
+    repaired with pivoting confined to each group's block
+    (schedule_subtree.pin_rows_per_group), the composed sequence is
+    certified end to end by one host REF LU (slip_get_pivot.c
+    analogue), and the exact limb width is captured so an adopting
+    caller skips the widen ladder. Returns
+    (q_nd, fixed_r, sched_nd, r_nd, Wx) or None; the CALLER adopts
+    only if the grouped stream actually wins."""
+    if hasattr(analysis, "nd_candidate"):
+        return analysis.nd_candidate
+    analysis.nd_candidate = None
     n = A.n
-    if n < 192 or os.environ.get("SLIP_FUSED_SUBTREE", "1") == "0":
-        return
     from .schedule_subtree import (dependency_forest, dissect_order,
-                                   partition_groups)
+                                   partition_groups,
+                                   pin_rows_per_group)
     q0 = np.asarray(analysis.q, dtype=np.int64)
-    q0, built = _resolve_order(A, analysis, q0, None)
-    sched0, r0 = built if built is not None \
-        else build_schedule_best(A, q0, None)
-    analysis.fused_sched_only_cache = (None, (sched0, r0))
-    if partition_groups(dependency_forest(sched0)) is not None:
-        return                  # decomposes natively: no reorder
+    sc = getattr(analysis, "fused_sched_only_cache", None)
+    if sc is not None and sc[0] is None:
+        sched0, _ = sc[1]
+    else:
+        q0, built = _resolve_order(A, analysis, q0, None)
+        sched0, r0 = built if built is not None \
+            else build_schedule_best(A, q0, None)
+        analysis.fused_sched_only_cache = (None, (sched0, r0))
     q_nd = dissect_order(A)
     sched_nd, r_nd = build_schedule_best(A, q_nd, None)
     if sched_nd.lnz + sched_nd.unz > 1.9 * (sched0.lnz + sched0.unz):
-        return                  # fill guard: reorder not worth it
-    from .schedule_subtree import pin_rows_per_group
+        return None             # fill guard: reorder not worth it
     gr = partition_groups(dependency_forest(sched_nd))
     if gr is None:
-        return
-    # reordered pivot VALUES are arbitrary: repair exact cancellations
-    # with pivoting confined to each group's block (a global fallback
-    # would grab separator rows and destroy the decomposition)
+        return None
     fixed_r = pin_rows_per_group(A, q_nd, r_nd, gr)
     if fixed_r is None:
-        return                  # a block is singular: stay native
-    old_q = analysis.q
-    analysis.q = q_nd
+        return None             # a block is singular: stay native
     from ..errors import SlipSingularError
     from ..factorize import factorize
+    old_q = analysis.q
+    analysis.q = q_nd
     try:
-        # certify the composed sequence end to end on host (top pivots
-        # are still the transversal's and may cancel) and capture the
-        # exact limb width, skipping the device widen ladder
         F = factorize(A, analysis, options, fixed_r=fixed_r)
     except SlipSingularError:
-        analysis.q = old_q      # top cancellation: stay native
-        return
-    analysis.sparse_fixed_r = fixed_r
+        return None             # top cancellation: stay native
+    finally:
+        analysis.q = old_q
+    sched_p, r_p = build_schedule_best(A, q_nd, fixed_r)
     Wx = _tc_width((v for col in (F.Lcols + F.Ucols)
                     for _, v in col), 1 << 30) + 1
-    analysis.fused_pin_check = (fixed_r.tobytes(), Wx)
-    analysis.fused_sched_only_cache = None
+    analysis.nd_candidate = (q_nd, fixed_r, sched_p, r_p, Wx)
+    return analysis.nd_candidate
 
 
 def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
@@ -286,7 +282,6 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
     if n == 0:
         return SlipMatrix.allocate(Kind.DENSE, Type.MPQ, 0, nrhs)
     st = SolveStats(backend="tpu-fused", n=n, nnz=int(A.p[n]), nrhs=nrhs)
-    _maybe_dissect(A, analysis, options)
     q = np.asarray(analysis.q, dtype=np.int64)
     fixed_r = analysis.sparse_fixed_r   # cached repair from earlier solves
 
@@ -328,12 +323,71 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
                     # C1 cuts stop dominating the scan (measured:
                     # 177 -> 117 chunks on the dissected band probe)
                     es_g = try_build_grouped(sched, 8, max(64, p1), p2)
-                    if es_g is not None and (
-                            subtree_mode == "force"
-                            or es_g.factor.nchunks + es_g.solve.nchunks
+                    cand = None
+                    if es_g is None and fixed_r is None and n >= 192:
+                        # chain forest: evaluate a dissection reorder
+                        # (committed only if the grouped stream wins)
+                        cand = _dissect_candidate(A, analysis, options)
+                        if cand is not None:
+                            es_g = try_build_grouped(
+                                cand[2], 8, max(64, p1), p2)
+
+                    def _events(s):
+                        return int((s.factor.counts[:, 1:3].sum())
+                                   + (s.solve.counts[:, 1:3].sum()))
+
+                    # single-chip adoption: the measured per-EVENT
+                    # scalar gather cost dominates narrow-W streams
+                    # (uni10k A/B: grouped 65.2 ms vs 60.8 ms when
+                    # dissection tripled the events), so the shorter
+                    # scan must not come with event inflation. The
+                    # sharded driver adopts on scan length alone —
+                    # chips divide the events, the scan is shared.
+                    adopt = es_g is not None and (
+                        subtree_mode == "force"
+                        or (es_g.factor.nchunks + es_g.solve.nchunks
                             < 0.85 * (es.factor.nchunks
-                                      + es.solve.nchunks)):
+                                      + es.solve.nchunks)
+                            and _events(es_g) < 1.25 * _events(es)))
+                    if es_g is not None and not adopt:
+                        # MAC-bound wide-W regime: per-event cost is
+                        # ~quadratic in the adaptive segment width, and
+                        # grouped chunks run at LOCAL widths
+                        # (max_level model) — weight events by the
+                        # segment width the planner would choose
+                        pchk = getattr(analysis, "fused_pin_check",
+                                       None)
+                        West = cand[4] if cand is not None else (
+                            pchk[1] if (pchk is not None
+                                        and pchk[0] == skey
+                                        and pchk[1]) else None)
+                        if West is not None and West >= 32:
+                            def _wcost(s):
+                                c = 0.0
+                                for sc in (s.factor, s.solve):
+                                    ml = np.asarray(sc.max_level,
+                                                    np.float64)
+                                    w = np.minimum(
+                                        West, West * (ml + 2) / n + 2)
+                                    ev = (sc.counts[:, 1]
+                                          + sc.counts[:, 2])
+                                    c += float((ev * (w / West) ** 2)
+                                               .sum())
+                                return c
+                            adopt = _wcost(es_g) < 0.8 * _wcost(es)
+                    if adopt:
                         es = es_g
+                        if cand is not None:
+                            # commit the dissection: reorder, pinned
+                            # rows, exact width seed, fresh cache keys
+                            q, fixed_r, sched, r, Wx = cand
+                            analysis.q = q
+                            analysis.sparse_fixed_r = fixed_r
+                            skey = fixed_r.tobytes()
+                            analysis.fused_pin_check = (skey, Wx)
+                            analysis.fused_sched_only_cache = (
+                                skey, (sched, r))
+                            key = (heads_per_chunk, p1, p2, skey)
                 dev_streams = _stream_arrays(es)
                 Aq = _permute_cols(A, q)
                 avals = [int(Aq.x[idx]) for c in range(n)

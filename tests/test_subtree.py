@@ -277,3 +277,38 @@ def test_dissect_order_is_permutation_and_decomposes():
     x_host = backslash(A, b, Type.MPQ, Options(order=Ordering.NONE))
     for k in range(n):
         assert Fraction(X[k][0], det) == x_host.x[int(q_nd[k]), 0], k
+
+
+@pytest.mark.slow
+def test_dissect_driver_end_to_end(monkeypatch):
+    """Driver-level dissection: banded chain matrix, full fused solve
+    through _dissect_candidate + per-group pinning + grouped streams
+    (interpret-mode kernels), exact parity with the oracle."""
+    monkeypatch.setenv("SLIP_FUSED_SUBTREE", "force")
+    n = 220
+    rng = np.random.default_rng(5)
+    dense = np.zeros((n, n), dtype=object)
+    for i in range(n):
+        dense[i, i] = 1
+        for d in (1, 2, 3):
+            if i + d < n:
+                dense[i, i + d] = int(rng.integers(-3, 4))
+                dense[i + d, i] = int(rng.integers(-3, 4))
+    A = matrix_copy(SlipMatrix.from_dense(dense, Type.MPZ),
+                    Kind.CSC, Type.MPZ)
+    b = SlipMatrix.from_dense(
+        np.array([[int(rng.integers(-5, 6))] for _ in range(n)],
+                 dtype=object), Type.MPZ)
+    from slip_lu_tpu.options import Ordering
+    from slip_lu_tpu.solve import check_solution
+    from slip_lu_tpu.tpu.backslash_fused import factorize_solve_tpu_fused
+    opts = Options(order=Ordering.NONE)
+    ana = analyze(A, opts)
+    x = factorize_solve_tpu_fused(A, ana, b, opts)
+    check_solution(A, x, b)
+    xo = backslash(A, b, Type.MPQ, opts)
+    for k in range(n):
+        assert x.x[k, 0] == xo.x[k, 0], k
+    es = ana.fused_cache[1][2]
+    assert es.grouped is not None          # dissection was committed
+    assert ana.sparse_fixed_r is not None  # with per-group pinning
