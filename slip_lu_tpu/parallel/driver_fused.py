@@ -12,6 +12,7 @@ there; reference analogue: slip_get_pivot.c's dynamic search).
 
 from __future__ import annotations
 
+import os
 from fractions import Fraction
 from math import gcd
 from typing import Optional
@@ -28,7 +29,8 @@ from ..errors import SlipIncorrectInputError, SlipLimbOverflowError
 from ..matrix import Kind, SlipMatrix, Type
 from ..options import Options
 from ..stats import SolveStats, phase_timer, record
-from ..tpu.backslash_fused import _mpq, _resolve_order, _tc_width
+from ..tpu.backslash_fused import (_dissect_candidate, _mpq,
+                                   _resolve_order, _tc_width)
 from ..tpu.bounds import (_input_width, factor_width, hadamard_bits,
                           solve_width)
 from ..tpu.factor_fused import _r8, ints_to_tc_rows, tc_rows_to_ints
@@ -94,6 +96,46 @@ def factorize_solve_fused_sharded(A: SlipMatrix, analysis: Analysis,
                 else build_schedule_best(A, q, fixed_r)
             ses = build_sharded_stream(sched, p, heads_per_chunk,
                                        pass1_events, pass2_events)
+            subtree_mode = os.environ.get("SLIP_FUSED_SUBTREE", "1")
+            if subtree_mode != "0":
+                # subtree-local (grouped) streams, chip-partitioned:
+                # G independent groups feed every chunk, so per-chip
+                # capacity BINDS and p chips shorten the serial chunk
+                # scan by up to p (ungrouped streams hazard-cut at
+                # ~1.5 steps and never fill the capacity). Adoption is
+                # on scan length alone — chips divide the events, the
+                # scan is shared (unlike the single-chip driver's
+                # event-inflation guard).
+                from ..tpu.schedule_subtree import try_build_grouped
+                ses_g = try_build_grouped(
+                    sched, 8, max(64, pass1_events), pass2_events, p=p)
+                cand = None
+                if ses_g is None and fixed_r is None and n >= 192:
+                    cand = _dissect_candidate(A, analysis, options)
+                    if cand is not None:
+                        ses_g = try_build_grouped(
+                            cand[2], 8, max(64, pass1_events),
+                            pass2_events, p=p)
+
+                def scan(s):
+                    return s.factor.nchunks + s.solve.nchunks
+
+                if ses_g is not None and (
+                        subtree_mode == "force"
+                        or scan(ses_g) < 0.85 * scan(ses)):
+                    ses = ses_g
+                    if cand is not None:
+                        # commit the dissection: reorder, pinned rows,
+                        # exact width seed, fresh cache keys
+                        q, fixed_r, sched, r, _Wx = cand
+                        analysis.q = q
+                        analysis.sparse_fixed_r = fixed_r
+                        skey = fixed_r.tobytes()
+                        analysis.fused_pin_check = (skey, _Wx)
+                        analysis.fused_sched_only_cache = (
+                            skey, (sched, r))
+                        key = (p, heads_per_chunk, pass1_events,
+                               pass2_events, skey)
             Aq = _permute_cols(A, q)
             avals = [int(Aq.x[idx]) for c in range(n)
                      for idx in range(int(Aq.p[c]), int(Aq.p[c + 1]))]
@@ -101,6 +143,10 @@ def factorize_solve_fused_sharded(A: SlipMatrix, analysis: Analysis,
     st.lnz, st.unz = ses.lnz, ses.unz
     E = ses.nnz
     Lp8 = _r8(ses.Lp)
+    # stream geometry (grouped streams use H=8 / C1 = max(64, C1))
+    H_es = int(ses.factor.h_step.shape[1])
+    C1_es = int(ses.factor.ev1.shape[2])
+    C2_es = int(ses.factor.ev2.shape[2])
     # factor bc indices are per-chip LOCAL (partitioned value table);
     # solve bc indices are global X rows (X is full per chip)
     CBf8 = max(8, _r8(ses.factor.CB))
@@ -120,6 +166,11 @@ def factorize_solve_fused_sharded(A: SlipMatrix, analysis: Analysis,
         analysis.hadamard_bits_cache = hbits
     W_full = factor_width(A, hbits=hbits)
     Ws_full = solve_width(A, bz.x, W_full, n, hbits=hbits)
+    if ses.ndet is not None:
+        # grouped merge intermediates can exceed the single-minor
+        # bound by a few bits (same headroom as the single-chip path)
+        W_full += 1
+        Ws_full += 1
     W_in = _input_width(avals)
     Wb_in = _input_width(bz.x.reshape(-1))
     if options.max_limbs is not None:
@@ -138,6 +189,13 @@ def factorize_solve_fused_sharded(A: SlipMatrix, analysis: Analysis,
                     W_full)
             Ws = min(max(W + 1, Wb_in + 1,
                          min(-(-Ws_full // 16), 32)), Ws_full)
+        # exact pinned-pivot width (dissection commit) beats any guess
+        pchk = getattr(analysis, "fused_pin_check", None)
+        if (pchk is not None and fixed_r is not None
+                and pchk[0] == fixed_r.tobytes()
+                and pchk[1] is not None):
+            W = min(max(W, pchk[1], W_in + 1), W_full)
+            Ws = min(max(Ws, W + 1), Ws_full)
 
     sing_seen = False
     while True:
@@ -152,7 +210,11 @@ def factorize_solve_fused_sharded(A: SlipMatrix, analysis: Analysis,
             val_in = np.zeros((p, Lp8, W8), dtype=np.int32)
             val_in[ses.init_chip, ses.init_loc] = ints_to_tc_rows(
                 avals, W8)
-            X8 = _r8(n + 1)
+            if ses.extra_chip is not None and len(ses.extra_chip):
+                # grouped streams: constant / scratch slot inits
+                val_in[ses.extra_chip, ses.extra_loc] = ints_to_tc_rows(
+                    ses.extra_vals, W8)
+            X8 = _r8(n + 1 + ses.nxx)
             bcols = [[int(bz.x[int(r[k]), c]) for k in range(n)]
                      for c in range(nrhs)]
             X0 = np.zeros((nrhs, X8, Ws8), dtype=np.int32)
@@ -160,8 +222,8 @@ def factorize_solve_fused_sharded(A: SlipMatrix, analysis: Analysis,
                 X0[c, :n] = ints_to_tc_rows(bcols[c], Ws8)
         with phase_timer(st, "device"):
             flat = np.asarray(jax.device_get(fused_sharded_solve(
-                mesh, n, E, W8, Ws8, WN, WNS, WI8, heads_per_chunk,
-                pass1_events, pass2_events,
+                mesh, n, E, W8, Ws8, WN, WNS, WI8, H_es,
+                C1_es, C2_es,
                 fb_idx.shape[1], sb_idx.shape[1], nrhs,
                 jnp.asarray(ses.factor.h_step),
                 jnp.asarray(ses.h_slot_loc),
@@ -181,7 +243,7 @@ def factorize_solve_fused_sharded(A: SlipMatrix, analysis: Analysis,
                 jnp.asarray(sb_mbc),
                 jnp.asarray(xown),
                 jnp.asarray(val_in),
-                jnp.asarray(X0))))
+                jnp.asarray(X0), ndet=ses.ndet)))
         fsing, fovf, sovf = (bool(flat[0]), bool(flat[1]),
                              bool(flat[2]))
         sing_seen = sing_seen or fsing

@@ -278,19 +278,26 @@ def _c_call(cnt, ev2, bidx, bcn, bc, a_src, SMT, GT, TZ, val, facc,
 @functools.partial(
     jax.jit, static_argnames=("mesh", "n", "E", "W8", "Ws8", "WN",
                               "WNS", "WI8", "H", "C1", "C2", "CBf",
-                              "CBs", "nrhs"))
+                              "CBs", "nrhs", "ndet"))
 def fused_sharded_solve(mesh: Mesh, n, E, W8, Ws8, WN, WNS, WI8, H,
                         C1, C2, CBf, CBs, nrhs,
                         fhs, fhsl, fhd, f_mdiag, f_cnt, f_ev1, f_ev2,
                         f_bidx, f_bcnt, f_mbc,
                         s_cnt, s_ev1, s_ev2, s_bidx, s_bcnt, s_mbc,
-                        xown, val0, X0):
+                        xown, val0, X0, ndet=None):
     """ONE XLA program: sharded factor scan + per-RHS sharded solve
     scans. Returns a replicated flat int32 vector
-    [fsing, fovf, sovf, det (W8), X (nrhs*n*Ws8)]."""
+    [fsing, fovf, sovf, det (W8), X (nrhs*n*Ws8)].
+
+    Grouped (subtree-local) streams pass ndet = the table row holding
+    the determinant (> n: local chains + PD + top rows, see
+    tpu/schedule_subtree.py) and ship X clone rows inside X0 (rows
+    n+1 ..); only X rows [0, n) are psum-returned either way."""
+    if ndet is None:
+        ndet = n
     axes = mesh_axes(mesh)
     E8v = val0.shape[1]                  # per-chip local table rows
-    n8v = _r8(n + 2)
+    n8v = _r8(ndet + 2)
     X8 = X0.shape[1]
     WQ = min(WI8, _r8(W8 + 2))
     WV = _r8(WQ + W8)
@@ -343,7 +350,7 @@ def fused_sharded_solve(mesh: Mesh, n, E, W8, Ws8, WN, WNS, WI8, H,
              f_bidx, f_bcnt, f_mbc))
         fsing = lax.psum(facc[0, 0], axes)
         fovf = lax.psum(facc[1, 0], axes)
-        det_row = SMT[n]
+        det_row = SMT[ndet]
 
         # ---- solve scans (one per RHS) ----
         souts = []

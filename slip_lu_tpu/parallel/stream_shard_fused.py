@@ -46,7 +46,7 @@ stored locally; only pivot diagonals and B operands travel.
 from __future__ import annotations
 
 import dataclasses
-from typing import List
+from typing import List, Optional
 
 import numpy as np
 
@@ -91,6 +91,12 @@ class ShardedEventStream:
     bc_loc: np.ndarray = None         # [p, nc, CB] owner-local bc idx
     init_chip: np.ndarray = None      # [nnz(A)] owner chip per A entry
     init_loc: np.ndarray = None       # [nnz(A)] local slot per A entry
+    # --- grouped (subtree-local) streams only ---
+    ndet: Optional[int] = None        # determinant table row (None -> n)
+    nxx: int = 0                      # extra X clone rows
+    extra_chip: np.ndarray = None     # extra-slot init (chip, local,
+    extra_loc: np.ndarray = None      #   value) triples; replicated
+    extra_vals: list = None           #   slots appear once per chip
 
 
 class _ShardChunkBuilder:
@@ -133,9 +139,15 @@ class _ShardChunkBuilder:
         self._flush()
 
     def add_head(self, k: int, slot: int, div: int):
+        # same cuts as the single-chip _ChunkBuilder (see its add_head
+        # for the GT/TZ and SMT[k] chain-hazard rationale) — heads are
+        # REPLICATED in the sharded superstep, so the batched head
+        # phase's semantics are identical
         if (len(self.h) == self.H or slot in self.w1 or slot in self.w2
                 or slot in self.r2
-                or (div != k and (div - 1) in self.hsteps)):
+                or (div != k and (div - 1) in self.hsteps)
+                or (div != k and (k - 1) in self.hsteps
+                    and (not self.h or self.h[-1][0] != k - 1))):
             self._flush()
         self.h.append([k, slot, div])
         self.hsteps.add(k)
@@ -331,7 +343,9 @@ def build_sharded_stream(sched: SparseSchedule, p: int,
     return ses
 
 
-def _partition_value_table(ses: ShardedEventStream) -> None:
+def _partition_value_table(ses: ShardedEventStream, owner=None,
+                           repl=(), extra_pos=None,
+                           extra_vals=None) -> None:
     """Rewrite every value-slot index into per-chip LOCAL spaces.
 
     Ownership is by row (cyclic). Each chip's table holds exactly its
@@ -348,22 +362,36 @@ def _partition_value_table(ses: ShardedEventStream) -> None:
     The solve stream keeps its full per-chip X (every X row is
     broadcast at least once over the solve, so partitioning X saves
     nothing) but its A operands are value slots and remap too.
+
+    Grouped streams pass an explicit `owner` array covering the extra
+    slots (clones, PD scratch), `repl` — slots replicated on EVERY
+    chip at one shared local index (the constant m1 merge operand,
+    which is an A operand of events on all chips), and the extra-slot
+    init values, expanded here into (chip, local, value) triples.
     """
     p, E, n = ses.p, ses.nnz, ses.n
     row_of = ses.row_of
-    owner = np.asarray(row_of[:E], np.int64) % p
+    if owner is None:
+        owner = np.asarray(row_of[:E], np.int64) % p
+    repl_set = set(int(s) for s in repl)
     loc = np.full(E + 1, -1, np.int64)
     counts = np.zeros(p, np.int64)
     for s_ in range(E):
-        loc[s_] = counts[owner[s_]]
-        counts[owner[s_]] += 1
-    Lp = int(counts.max()) + 1        # + dummy row
+        if owner[s_] >= 0:
+            loc[s_] = counts[owner[s_]]
+            counts[owner[s_]] += 1
+    base = int(counts.max())
+    for j, s_ in enumerate(sorted(repl_set)):
+        loc[s_] = base + j            # same index on every chip
+    Lp = base + len(repl_set) + 1     # + dummy row
     dummy = Lp - 1
     loc[E] = dummy                    # global dummy slot -> local dummy
 
     def local_of(c, s_):
         if s_ >= E:
             return dummy
+        if s_ in repl_set:
+            return int(loc[s_])
         return int(loc[s_]) if owner[s_] == c else dummy
 
     f = ses.factor
@@ -420,3 +448,19 @@ def _partition_value_table(ses: ShardedEventStream) -> None:
     ses.bc_loc = bc_loc
     ses.init_chip = owner[init_pos].astype(np.int32)
     ses.init_loc = loc[init_pos].astype(np.int32)
+    if extra_pos is not None and len(extra_pos):
+        e_chip, e_loc, e_val = [], [], []
+        for s_, v in zip(extra_pos, extra_vals):
+            s_ = int(s_)
+            if s_ in repl_set:
+                for c in range(p):
+                    e_chip.append(c)
+                    e_loc.append(int(loc[s_]))
+                    e_val.append(v)
+            else:
+                e_chip.append(int(owner[s_]))
+                e_loc.append(int(loc[s_]))
+                e_val.append(v)
+        ses.extra_chip = np.asarray(e_chip, np.int32)
+        ses.extra_loc = np.asarray(e_loc, np.int32)
+        ses.extra_vals = e_val
