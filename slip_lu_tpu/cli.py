@@ -39,6 +39,10 @@ def make_parser() -> argparse.ArgumentParser:
                    default="smallest", help="pivot scheme")
     p.add_argument("--tol", type=float, default=0.1,
                    help="tolerance for the tol-* pivot schemes")
+    p.add_argument("--exact-pivot", action="store_true",
+                   dest="pivot_exact",
+                   help="honor --pivot on the scheduled device backends "
+                        "(host pivot search pinned into the schedule)")
     p.add_argument("--out-type", choices=["mpq", "mpfr", "fp64"],
                    default="mpq", help="solution output type")
     p.add_argument("--prec", type=int, default=128,
@@ -81,7 +85,8 @@ def main(argv=None) -> int:
              "largest": Pivot.LARGEST}[args.pivot]
     out_type = {"mpq": Type.MPQ, "mpfr": Type.MPFR,
                 "fp64": Type.FP64}[args.out_type]
-    options = Options(pivot=pivot, order=order, tol=args.tol,
+    options = Options(pivot=pivot, pivot_exact=args.pivot_exact,
+                      order=order, tol=args.tol,
                       prec=args.prec, check=args.check,
                       print_level=args.print_level)
 

@@ -51,14 +51,20 @@ class Pivot(enum.IntEnum):
 #                                          (slip_get_pivot.c dispatch)
 #   tpu (dense)    yes (all 6 schemes)     on-device masked tournament
 #                                          over limb magnitudes
-#   tpu-sparse /   NO — static schedule    pivots pinned to a
-#   tpu-fused                              zero-free transversal
-#                                          diagonal of B = A[r][:, q];
+#   tpu-sparse /   default: NO —           pivots pinned to a
+#   tpu-fused /    static schedule         zero-free transversal
+#   sharded                                diagonal of B = A[r][:, q];
 #                                          on exact cancellation the
 #                                          driver replans with the
 #                                          host oracle's pivot rows
 #                                          (which DO follow
 #                                          options.pivot)
+#                  pivot_exact=True:       the host pivot search runs
+#                  yes (all 6 schemes)     ONCE per analysis and its
+#                                          row sequence is pinned into
+#                                          the schedule — reference
+#                                          pivot semantics, device
+#                                          execution
 #
 # Why: the scheduled paths need data-independent patterns; a dynamic
 # SMALLEST search would make every column's pattern (and the whole
@@ -109,6 +115,15 @@ class Options:
     """
 
     pivot: Pivot = Pivot.SMALLEST
+    pivot_exact: bool = False     # honor `pivot` on the SCHEDULED paths
+    #   (tpu-sparse / tpu-fused / sharded): run the reference pivot
+    #   search once on host (slip_get_pivot.c dispatch) and pin the
+    #   resulting row sequence into the static schedule — exact
+    #   reference pivot semantics, at the cost of one host
+    #   factorization per analysis (cached; its exact width also seeds
+    #   the device width ladder, skipping the widen-retry climb).
+    #   Default False keeps the zero-free transversal (see the
+    #   per-backend table above).
     order: Ordering = Ordering.COLAMD
     tol: float = 0.1              # pivot tolerance for TOL_* schemes, in (0,1]
     print_level: int = 0          # 0 none, 1 stats, 2 matrices terse, 3 full

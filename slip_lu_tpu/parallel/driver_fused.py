@@ -81,6 +81,9 @@ def factorize_solve_fused_sharded(A: SlipMatrix, analysis: Analysis,
     p = int(np.prod(mesh.devices.shape))
     st = SolveStats(backend="tpu-fused-sharded", n=n, nnz=int(A.p[n]),
                     nrhs=nrhs)
+    if options.pivot_exact:
+        from ..tpu.backslash_fused import _pin_scheme_rows
+        _pin_scheme_rows(A, analysis, options)
     q = np.asarray(analysis.q, dtype=np.int64)
     fixed_r = analysis.sparse_fixed_r
 

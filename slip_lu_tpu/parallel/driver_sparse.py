@@ -50,6 +50,9 @@ def factorize_solve_sharded_sparse(A: SlipMatrix, analysis: Analysis,
     if n == 0:
         return SlipMatrix.allocate(Kind.DENSE, Type.MPQ, 0, nrhs)
     p = mesh.devices.size
+    if options.pivot_exact:
+        from ..tpu.backslash_fused import _pin_scheme_rows
+        _pin_scheme_rows(A, analysis, options)
     q = np.asarray(analysis.q, dtype=np.int64)
     fixed_r = analysis.sparse_fixed_r   # cached repair from earlier solves
     for plan in range(2):

@@ -255,6 +255,30 @@ def _dissect_candidate(A: SlipMatrix, analysis: Analysis,
     return analysis.nd_candidate
 
 
+def _pin_scheme_rows(A: SlipMatrix, analysis: Analysis,
+                     options: Options) -> None:
+    """options.pivot honored on the scheduled paths (pivot_exact=True):
+    run the reference pivot search ONCE on host (the slip_get_pivot.c
+    dispatch inside factorize) and pin the resulting row sequence into
+    the static schedule. Cached per (pivot, tol) on the Analysis; the
+    host factorization's exact limb width seeds the device ladder, so
+    the device pass runs once at the right width. Raises
+    SlipSingularError for genuinely singular input (host semantics)."""
+    tag = (int(options.pivot), float(options.tol))
+    if (getattr(analysis, "pivot_pin_tag", None) == tag
+            and analysis.sparse_fixed_r is not None):
+        return
+    from ..factorize import factorize
+    F = factorize(A, analysis, options)     # raises if singular
+    fixed_r = np.asarray(F.row_perm, dtype=np.int64)
+    analysis.sparse_fixed_r = fixed_r
+    analysis.pivot_pin_tag = tag
+    Wx = _tc_width((v for col in (F.Lcols + F.Ucols)
+                    for _, v in col), 1 << 30) + 1
+    analysis.fused_pin_check = (fixed_r.tobytes(), Wx)
+    analysis.fused_sched_only_cache = None
+
+
 def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
                               b: SlipMatrix,
                               options: Optional[Options] = None,
@@ -282,6 +306,8 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
     if n == 0:
         return SlipMatrix.allocate(Kind.DENSE, Type.MPQ, 0, nrhs)
     st = SolveStats(backend="tpu-fused", n=n, nnz=int(A.p[n]), nrhs=nrhs)
+    if options.pivot_exact:
+        _pin_scheme_rows(A, analysis, options)
     q = np.asarray(analysis.q, dtype=np.int64)
     fixed_r = analysis.sparse_fixed_r   # cached repair from earlier solves
 

@@ -65,6 +65,9 @@ def factorize_solve_tpu_sparse(A: SlipMatrix, analysis: Analysis,
     if n == 0:
         return SlipMatrix.allocate(Kind.DENSE, Type.MPQ, 0, nrhs)
     st = SolveStats(backend="tpu-sparse", n=n, nnz=int(A.p[n]), nrhs=nrhs)
+    if options.pivot_exact:
+        from .backslash_fused import _pin_scheme_rows
+        _pin_scheme_rows(A, analysis, options)
     q = np.asarray(analysis.q, dtype=np.int64)
     fixed_r = analysis.sparse_fixed_r   # cached repair from earlier solves
     for plan in range(2):
