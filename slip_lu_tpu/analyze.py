@@ -89,41 +89,64 @@ def etree_interleave(A: SlipMatrix, q: np.ndarray) -> np.ndarray:
     return q[np.argsort(level, kind="stable")]
 
 
-def identity_fill_estimate(A: SlipMatrix, cap: int) -> int:
-    """Strictly-lower Cholesky fill of pattern(A + A') under the
-    NATURAL order — exact symbolic elimination by the first-neighbor
-    merge (each eliminated column's remaining structure folds into its
-    etree parent), O(fill) set work. Stops early and returns `cap`
-    once the count passes it: only the comparison with the other
-    orderings' estimates matters (Ordering.AUTO)."""
+def symbolic_cost_estimate(A: SlipMatrix, q, cap: int):
+    """(fill, max_struct) of pattern(A + A') eliminated in order `q` —
+    exact symbolic elimination by the first-neighbor merge (each
+    eliminated column's remaining structure folds into its etree
+    parent), O(fill) set work. Stops early once fill passes `cap`
+    (returns cap and the max structure seen so far): only the
+    comparison between candidate orderings matters (Ordering.AUTO).
+    max_struct bounds the per-step pattern width, which is what the
+    scheduled device paths PAD to (tile tables are n x rmax x cmax —
+    an ordering with small fill but a few wide steps can cost orders
+    of magnitude more memory/events there than a wider-fill banded
+    order; measured: AMD on uni100k, est_fill 110K vs natural 251K,
+    blows the padded schedule past 40 GB)."""
     n = A.n
+    inv = np.empty(n, np.int64)
+    inv[np.asarray(q, np.int64)] = np.arange(n)
     adj = [set() for _ in range(n)]
     for col in range(n):
+        jc = int(inv[col])
         for idx in range(int(A.p[col]), int(A.p[col + 1])):
-            row = int(A.i[idx])
-            if row > col:
-                adj[col].add(row)
-            elif row < col:
-                adj[row].add(col)
+            jr = int(inv[int(A.i[idx])])
+            if jr > jc:
+                adj[jc].add(jr)
+            elif jr < jc:
+                adj[jr].add(jc)
     fill = 0
+    ms = 0
     for j in range(n):
         s = adj[j]
         fill += len(s)
+        ms = max(ms, len(s))
         if fill > cap:
-            return cap
+            return cap, ms
         if s:
             m = min(s)
             s.discard(m)
             adj[m] |= s
         adj[j] = None
-    return fill
+    return fill, ms
+
+
+def identity_fill_estimate(A: SlipMatrix, cap: int) -> int:
+    """Natural-order fill (see symbolic_cost_estimate)."""
+    return symbolic_cost_estimate(A, np.arange(A.n, dtype=np.int64), cap)[0]
 
 
 def _auto_order(A: SlipMatrix, options: Options):
-    """Ordering.AUTO: take the minimum estimated fill among
-    COLAMD / AMD / identity (see Ordering docstring). The identity
-    estimate is capped at the best fill-reducing estimate, so a bad
-    natural order costs O(best estimate) symbolic work, not O(n^2)."""
+    """Ordering.AUTO: minimize a schedule-aware cost over
+    COLAMD / AMD / identity (see Ordering docstring):
+
+        cost = exact symbolic fill + n * max_struct^2 / 16
+
+    The quadratic max_struct term is the padded-schedule proxy — the
+    device paths pad every step to the widest step's pattern
+    (tile_pos is n x rmax x cmax), so one dense-ish supernode late in
+    a low-fill ordering costs more than a uniformly banded order with
+    more total fill. Exact counts are capped at 4x the best
+    quotient-graph estimate, so a bad candidate costs O(best) work."""
     from .ordering.native import amd_order_best, colamd_order_best
     n = A.n
     cands = []
@@ -136,18 +159,21 @@ def _auto_order(A: SlipMatrix, options: Options):
     if not cands:
         # native engine unavailable: keep the reference default
         return qc, None
-    cap = min(c[0] for c in cands)
-    # cap+1 keeps equality meaningful (a capped return means "worse"),
-    # and ties prefer the identity (candidate code 0 sorts first):
-    # it costs no permutation and keeps natural structure
-    ei = identity_fill_estimate(A, cap + 1)
-    if ei <= cap:
-        cands.append((ei, 0, np.arange(n, dtype=np.int64)))
-    est, _, q = min(cands, key=lambda c: (c[0], c[1]))
+    cap = 4 * min(c[0] for c in cands) + n
+    scored = []
+    for _est, code, qq in cands:
+        fill, ms = symbolic_cost_estimate(A, qq, cap)
+        scored.append((fill + n * ms * ms // 16, code, qq, fill))
+    fi, mi = symbolic_cost_estimate(A, np.arange(n, dtype=np.int64), cap)
+    # ties prefer the identity (code 0): no permutation, natural
+    # structure preserved
+    scored.append((fi + n * mi * mi // 16, 0, np.arange(n, dtype=np.int64),
+                   fi))
+    _cost, code, q, est = min(scored, key=lambda c: (c[0], c[1]))
     if options.print_level >= 1:
-        picked = {0: "NONE", 1: "COLAMD", 2: "AMD"}[min(
-            cands, key=lambda c: (c[0], c[1]))[1]]
-        print(f"analyze: AUTO ordering -> {picked} (est fill {est})")
+        picked = {0: "NONE", 1: "COLAMD", 2: "AMD"}[code]
+        print(f"analyze: AUTO ordering -> {picked} (fill {est}, "
+              f"cost {_cost})")
     return q, est
 
 

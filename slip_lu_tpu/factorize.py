@@ -272,12 +272,21 @@ def factorize(A: SlipMatrix, analysis: Analysis,
 
         # (6) pivot  [slip_get_pivot.c]
         if not cands:
-            raise SlipSingularError(f"column {col} (k={k}) has no eligible pivot")
+            err = SlipSingularError(
+                f"column {col} (k={k}) has no eligible pivot")
+            err.k = k                 # step index, for block repair
+            # unpivoted rows at the failure (the left null space of the
+            # leading block is supported on these; schedule_subtree's
+            # block repair pairs the dependent column with one of them)
+            err.free_rows = [i for i in range(n) if pinv[i] < 0]
+            raise err
         if fixed_r is not None:
             piv_row = int(fixed_r[k])
             if all(i != piv_row for i, _ in cands):
-                raise SlipSingularError(
+                err = SlipSingularError(
                     f"pinned pivot row {piv_row} is exactly zero at k={k}")
+                err.k = k
+                raise err
         else:
             piv_row = _choose_pivot(cands, diag_row=col, options=options)
         piv_val = x[piv_row]

@@ -123,9 +123,52 @@ def factorize_solve_fused_sharded(A: SlipMatrix, analysis: Analysis,
                 def scan(s):
                     return s.factor.nchunks + s.solve.nchunks
 
-                if ses_g is not None and (
-                        subtree_mode == "force"
-                        or scan(ses_g) < 0.85 * scan(ses)):
+                def _cost(s, West):
+                    # modeled per-solve wall: per-chunk scalar floor
+                    # (~15 us measured, CK postmortem) + per-event MAC
+                    # cost quadratic in the segment width the planner
+                    # will choose (~2 ns at one 8-limb group,
+                    # calibrated on uni100k 16- and 352-limb runs).
+                    # Events divide across chips; the scan does not.
+                    F, Ec = 15e-6, 2e-9
+                    tot = 0.0
+                    for sc in (s.factor, s.solve):
+                        ml = np.asarray(sc.max_level, np.float64)
+                        wq = (np.minimum(
+                            West, West * (ml + 2) / n + 2) / 8.0) ** 2
+                        ev = sc.counts[:, :, 1:3].sum(
+                            axis=(0, 2)).astype(np.float64)
+                        tot += (F * sc.nchunks
+                                + Ec * float((ev / p * wq).sum()))
+                    return tot
+
+                adopt = ses_g is not None and subtree_mode == "force"
+                if ses_g is not None and not adopt:
+                    # width-aware adoption: a dissection reorder can
+                    # shorten the scan but widen the pivots (uni100k:
+                    # W 16 -> 112); adopt only when the modeled wall
+                    # time wins at this chip count
+                    wc = getattr(analysis, "fused_width_cache", None)
+                    W_in0 = _input_width(
+                        [int(A.x[i]) for i in range(int(A.p[n]))])
+                    hb = getattr(analysis, "hadamard_bits_cache", None)
+                    if hb is None:
+                        hb = hadamard_bits(A)
+                        analysis.hadamard_bits_cache = hb
+                    Wf0 = factor_width(A, hbits=hb)
+                    West_u = wc[0] if wc else min(
+                        max(2, W_in0 + 1, min(-(-Wf0 // 16), 16)), Wf0)
+                    West_g = cand[4] if cand is not None else West_u
+                    # per-chip value table must fit VMEM at the final
+                    # segment width (the sharded path has no HBM val
+                    # mode yet)
+                    fits = (_r8(ses_g.Lp) * _r8(West_g) * 4
+                            <= int(os.environ.get(
+                                "SLIP_SHARD_VMEM", 90 * 1024 * 1024)))
+                    adopt = (fits and scan(ses_g) < scan(ses)
+                             and _cost(ses_g, West_g)
+                             < 0.9 * _cost(ses, West_u))
+                if adopt:
                     ses = ses_g
                     if cand is not None:
                         # commit the dissection: reorder, pinned rows,
@@ -208,21 +251,37 @@ def factorize_solve_fused_sharded(A: SlipMatrix, analysis: Analysis,
         WNS = _r8(W8 + Ws8 + 2)
         WI8 = _r8(max(W8, Ws8) + 2)
         st.W, st.Ws = W8, Ws8
+        # adaptive-width chunk segments (single-chip plan_segments
+        # model: a level-L chunk runs at ~W*(L+1)/n limbs); widths
+        # re-planned per ladder rung, overflow widens the whole rung
+        from ..tpu.backslash_fused import _merged, plan_segments
+        Wmin_in = max(2, W_in + 1)
+        segments = _merged(plan_segments(
+            ses.factor.max_level, n, W, Wmin_in))
+        bcols = [[int(bz.x[int(r[k]), c]) for k in range(n)]
+                 for c in range(nrhs)]
+        Wb = _tc_width((v for col in bcols for v in col), Ws8)
+        ssegplan = plan_segments(ses.solve.max_level, n,
+                                 max(Ws, W + 1), max(Wmin_in, Wb + 1))
+        for sp in ssegplan:
+            sp[2] = min(max(sp[2], _r8(Wb + 1)), Ws8)
+        ssegplan[-1][2] = Ws8
+        ssegments = _merged(ssegplan)
+        w0 = segments[0][2]
+        ws0 = ssegments[0][2]
         with phase_timer(st, "pack"):
-            # per-chip partitioned value table [p, Lp8, W8]
-            val_in = np.zeros((p, Lp8, W8), dtype=np.int32)
+            # per-chip partitioned value table [p, Lp8, w0]
+            val_in = np.zeros((p, Lp8, w0), dtype=np.int32)
             val_in[ses.init_chip, ses.init_loc] = ints_to_tc_rows(
-                avals, W8)
+                avals, w0)
             if ses.extra_chip is not None and len(ses.extra_chip):
                 # grouped streams: constant / scratch slot inits
                 val_in[ses.extra_chip, ses.extra_loc] = ints_to_tc_rows(
-                    ses.extra_vals, W8)
+                    ses.extra_vals, w0)
             X8 = _r8(n + 1 + ses.nxx)
-            bcols = [[int(bz.x[int(r[k]), c]) for k in range(n)]
-                     for c in range(nrhs)]
-            X0 = np.zeros((nrhs, X8, Ws8), dtype=np.int32)
+            X0 = np.zeros((nrhs, X8, ws0), dtype=np.int32)
             for c in range(nrhs):
-                X0[c, :n] = ints_to_tc_rows(bcols[c], Ws8)
+                X0[c, :n] = ints_to_tc_rows(bcols[c], ws0)
         with phase_timer(st, "device"):
             flat = np.asarray(jax.device_get(fused_sharded_solve(
                 mesh, n, E, W8, Ws8, WN, WNS, WI8, H_es,
@@ -246,7 +305,8 @@ def factorize_solve_fused_sharded(A: SlipMatrix, analysis: Analysis,
                 jnp.asarray(sb_mbc),
                 jnp.asarray(xown),
                 jnp.asarray(val_in),
-                jnp.asarray(X0), ndet=ses.ndet)))
+                jnp.asarray(X0), ndet=ses.ndet,
+                segments=segments, ssegments=ssegments)))
         fsing, fovf, sovf = (bool(flat[0]), bool(flat[1]),
                              bool(flat[2]))
         sing_seen = sing_seen or fsing

@@ -278,13 +278,15 @@ def _c_call(cnt, ev2, bidx, bcn, bc, a_src, SMT, GT, TZ, val, facc,
 @functools.partial(
     jax.jit, static_argnames=("mesh", "n", "E", "W8", "Ws8", "WN",
                               "WNS", "WI8", "H", "C1", "C2", "CBf",
-                              "CBs", "nrhs", "ndet"))
+                              "CBs", "nrhs", "ndet", "segments",
+                              "ssegments"))
 def fused_sharded_solve(mesh: Mesh, n, E, W8, Ws8, WN, WNS, WI8, H,
                         C1, C2, CBf, CBs, nrhs,
                         fhs, fhsl, fhd, f_mdiag, f_cnt, f_ev1, f_ev2,
                         f_bidx, f_bcnt, f_mbc,
                         s_cnt, s_ev1, s_ev2, s_bidx, s_bcnt, s_mbc,
-                        xown, val0, X0, ndet=None):
+                        xown, val0, X0, ndet=None, segments=None,
+                        ssegments=None):
     """ONE XLA program: sharded factor scan + per-RHS sharded solve
     scans. Returns a replicated flat int32 vector
     [fsing, fovf, sovf, det (W8), X (nrhs*n*Ws8)].
@@ -292,17 +294,26 @@ def fused_sharded_solve(mesh: Mesh, n, E, W8, Ws8, WN, WNS, WI8, H,
     Grouped (subtree-local) streams pass ndet = the table row holding
     the determinant (> n: local chains + PD + top rows, see
     tpu/schedule_subtree.py) and ship X clone rows inside X0 (rows
-    n+1 ..); only X rows [0, n) are psum-returned either way."""
+    n+1 ..); only X rows [0, n) are psum-returned either way.
+
+    segments/ssegments: adaptive-width chunk segments ((lo, hi, W8s),
+    ...) exactly as in the single-chip fused_solve_all — early chunks
+    run the same events at a fraction of the width (MAC cost is
+    quadratic in width); val/X widen and GT re-lifts at each segment
+    boundary, all chip-local (tables are replicated, no extra
+    collectives). val0 must be packed at segments[0] width, X0 at
+    ssegments[0] width."""
+    from ..tpu.relift import relift_gt, widen_tc
     if ndet is None:
         ndet = n
+    if segments is None:
+        segments = ((0, f_cnt.shape[1], W8),)
+    if ssegments is None:
+        ssegments = ((0, s_cnt.shape[1], Ws8),)
     axes = mesh_axes(mesh)
     E8v = val0.shape[1]                  # per-chip local table rows
     n8v = _r8(ndet + 2)
-    X8 = X0.shape[1]
-    WQ = min(WI8, _r8(W8 + 2))
-    WV = _r8(WQ + W8)
-    WQs = min(WI8, _r8(Ws8 + 2))
-    WVs = _r8(WQs + W8)
+    S = len(segments)
     H8 = max(H, 8)
 
     def local(fhs, fhsl, fhd, f_mdiag, f_cnt, f_ev1, f_ev2,
@@ -316,48 +327,72 @@ def fused_sharded_solve(mesh: Mesh, n, E, W8, Ws8, WN, WNS, WI8, H,
         s_cnt, s_ev1, s_ev2, s_mbc = (sq(s_cnt), sq(s_ev1), sq(s_ev2),
                                       sq(s_mbc))
         xown = sq(xown)
-        SMT0 = jnp.zeros((n8v, W8), jnp.int32).at[0, 0].set(1)
-        GT0 = jnp.zeros((n8v, WI8), jnp.int32).at[0, 0].set(1)
-        TZ0 = jnp.zeros((n8v, 8), jnp.int32)
         facc0 = jnp.zeros((8, 128), jnp.int32)
 
-        def fstep(carry, xs):
-            val, SMT, GT, TZ, facc = carry
-            (hs, hsl, hd, mdiag, cnt, e1, e2, bidx, bcnt, mbc) = xs
-            # psum#1: owner-masked current diagonals of this chunk
-            # (hsl is this chip's LOCAL index — the dummy row off-chip)
-            contrib = val[jnp.minimum(hsl, E8v - 1)] * mdiag[:, None]
-            diag_b = lax.psum(contrib, axes)
-            diag_b = jnp.concatenate(
-                [diag_b, jnp.zeros((H8 - H, W8), jnp.int32)]) \
-                if H8 > H else diag_b
-            val, SMT, GT, TZ, facc, bc_loc = _ab_call(
-                cnt, hs, hsl, hd, e1, bidx, bcnt, diag_b,
-                val, SMT, GT, TZ, facc, mbc,
-                n=n, E=E, W8=W8, WN=WN, WQ=WQ, WV=WV, WI8=WI8, H=H,
-                C1=C1, CB8=f_bidx.shape[-1], heads=True, Wt=W8,
-                is_solve=False)
-            bc = lax.psum(bc_loc, axes)
-            val, facc = _c_call(
-                cnt, e2, bidx, bcnt, bc, val, SMT, GT, TZ, val, facc,
-                n=n, E=E, W8=W8, WN=WN, WQ=WQ, WV=WV, WI8=WI8, C2=C2,
-                Wt=W8, is_solve=False)
-            return (val, SMT, GT, TZ, facc), None
+        def fstep_at(W8s, WNs, WQf, WVf, WIs):
+            def fstep(carry, xs):
+                val, SMT, GT, TZ, facc = carry
+                (hs, hsl, hd, mdiag, cnt, e1, e2, bidx, bcnt, mbc) = xs
+                # psum#1: owner-masked current diagonals of this chunk
+                # (hsl is this chip's LOCAL index — dummy row off-chip)
+                contrib = val[jnp.minimum(hsl, E8v - 1)] \
+                    * mdiag[:, None]
+                diag_b = lax.psum(contrib, axes)
+                diag_b = jnp.concatenate(
+                    [diag_b, jnp.zeros((H8 - H, W8s), jnp.int32)]) \
+                    if H8 > H else diag_b
+                val, SMT, GT, TZ, facc, bc_loc = _ab_call(
+                    cnt, hs, hsl, hd, e1, bidx, bcnt, diag_b,
+                    val, SMT, GT, TZ, facc, mbc,
+                    n=n, E=E, W8=W8s, WN=WNs, WQ=WQf, WV=WVf,
+                    WI8=WIs, H=H, C1=C1, CB8=f_bidx.shape[-1],
+                    heads=True, Wt=W8s, is_solve=False)
+                bc = lax.psum(bc_loc, axes)
+                val, facc = _c_call(
+                    cnt, e2, bidx, bcnt, bc, val, SMT, GT, TZ, val,
+                    facc, n=n, E=E, W8=W8s, WN=WNs, WQ=WQf, WV=WVf,
+                    WI8=WIs, C2=C2, Wt=W8s, is_solve=False)
+                return (val, SMT, GT, TZ, facc), None
+            return fstep
 
-        (val, SMT, GT, TZ, facc), _ = lax.scan(
-            fstep, (val0, SMT0, GT0, TZ0, facc0),
-            (fhs, fhsl, fhd, f_mdiag, f_cnt, f_ev1, f_ev2,
-             f_bidx, f_bcnt, f_mbc))
+        val = val0
+        facc = facc0
+        SMT = GT = TZ = None
+        prev = None
+        for (lo, hi, W8s) in segments:
+            WNs = _r8(2 * W8s + 2)
+            WQf = _r8(W8s + 2)
+            WIs = max(WQf, WI8) if S == 1 else WQf
+            if prev is None:
+                SMT = jnp.zeros((n8v, W8s), jnp.int32).at[0, 0].set(1)
+                GT = jnp.zeros((n8v, WIs), jnp.int32).at[0, 0].set(1)
+                TZ = jnp.zeros((n8v, 8), jnp.int32)
+            else:
+                pW8, pWI = prev
+                val = widen_tc(val, pW8, W8s)
+                SMT = widen_tc(SMT, pW8, W8s)
+                GT = relift_gt(SMT, GT, TZ, W8s, pWI, WIs)
+            WVf = _r8(WQf + W8s)
+            (val, SMT, GT, TZ, facc), _ = lax.scan(
+                fstep_at(W8s, WNs, WQf, WVf, WIs),
+                (val, SMT, GT, TZ, facc),
+                (fhs[lo:hi], fhsl[lo:hi], fhd[lo:hi],
+                 f_mdiag[lo:hi], f_cnt[lo:hi], f_ev1[lo:hi],
+                 f_ev2[lo:hi], f_bidx[lo:hi], f_bcnt[lo:hi],
+                 f_mbc[lo:hi]))
+            prev = (W8s, WIs)
         fsing = lax.psum(facc[0, 0], axes)
         fovf = lax.psum(facc[1, 0], axes)
         det_row = SMT[ndet]
+        WIf = prev[1]
+        WQs_full = _r8(Ws8 + 2)
+        if WIf < min(WI8, WQs_full):
+            GT = relift_gt(SMT, GT, TZ, W8, WIf,
+                           min(WI8, WQs_full))
+            WIf = min(WI8, WQs_full)
 
         # ---- solve scans (one per RHS) ----
-        souts = []
-        sovf_all = jnp.int32(0)
-        for c in range(nrhs):
-            sfacc0 = jnp.zeros((8, 128), jnp.int32)
-
+        def sstep_at(Ws_s, WNs, WQss, WVss):
             def sstep(carry, xs):
                 X, facc = carry
                 (cnt, e1, e2, bidx, bcnt, mbc) = xs
@@ -366,21 +401,36 @@ def fused_sharded_solve(mesh: Mesh, n, E, W8, Ws8, WN, WNS, WI8, H,
                     jnp.zeros((H,), jnp.int32),
                     jnp.zeros((H,), jnp.int32),
                     e1, bidx, bcnt,
-                    jnp.zeros((H8, Ws8), jnp.int32),
+                    jnp.zeros((H8, Ws_s), jnp.int32),
                     X, SMT, GT, TZ, facc, mbc,
-                    n=n, E=E, W8=W8, WN=WNS, WQ=WQs, WV=WVs,
-                    WI8=WI8, H=H, C1=C1, CB8=s_bidx.shape[-1],
-                    heads=False, Wt=Ws8, is_solve=True)
+                    n=n, E=E, W8=W8, WN=WNs, WQ=WQss, WV=WVss,
+                    WI8=WIf, H=H, C1=C1, CB8=s_bidx.shape[-1],
+                    heads=False, Wt=Ws_s, is_solve=True)
                 bc = lax.psum(bc_loc, axes)
                 X, facc = _c_call(
                     cnt, e2, bidx, bcnt, bc, val, SMT, GT, TZ, X,
-                    facc, n=n, E=E, W8=W8, WN=WNS, WQ=WQs, WV=WVs,
-                    WI8=WI8, C2=C2, Wt=Ws8, is_solve=True)
+                    facc, n=n, E=E, W8=W8, WN=WNs, WQ=WQss, WV=WVss,
+                    WI8=WIf, C2=C2, Wt=Ws_s, is_solve=True)
                 return (X, facc), None
+            return sstep
 
-            (X, sfacc), _ = lax.scan(
-                sstep, (X0[c], sfacc0),
-                (s_cnt, s_ev1, s_ev2, s_bidx, s_bcnt, s_mbc))
+        souts = []
+        sovf_all = jnp.int32(0)
+        for c in range(nrhs):
+            X = X0[c]
+            sfacc = jnp.zeros((8, 128), jnp.int32)
+            pWs = None
+            for (lo, hi, Ws_s) in ssegments:
+                if pWs is not None and Ws_s != pWs:
+                    X = widen_tc(X, pWs, Ws_s)
+                WNs = _r8(W8 + Ws_s + 2)
+                WQss = min(WIf, _r8(Ws_s + 2))
+                WVss = _r8(WQss + W8)
+                (X, sfacc), _ = lax.scan(
+                    sstep_at(Ws_s, WNs, WQss, WVss), (X, sfacc),
+                    (s_cnt[lo:hi], s_ev1[lo:hi], s_ev2[lo:hi],
+                     s_bidx[lo:hi], s_bcnt[lo:hi], s_mbc[lo:hi]))
+                pWs = Ws_s
             sovf_all = sovf_all + lax.psum(
                 sfacc[0, 0] + sfacc[1, 0], axes)
             xfull = lax.psum(X[:n] * xown[:n, None], axes)

@@ -68,6 +68,10 @@ class ShardedChunks:
     mine_bc: np.ndarray   # [p, nc, CB] 1 where this chip owns the row
     nchunks: int
     CB: int
+    max_level: np.ndarray = None   # [nc] elimination level reached by
+    #   each chunk (monotone) — drives the adaptive-width segment
+    #   planner (tpu/backslash_fused.plan_segments), same model as the
+    #   single-chip StreamChunks.max_level
 
 
 @dataclasses.dataclass
@@ -255,6 +259,28 @@ class _ShardChunkBuilder:
                              nchunks=nc, CB=CB)
 
 
+def sharded_chunk_levels(sc: ShardedChunks, lvl: np.ndarray) -> np.ndarray:
+    """Per-chunk max elimination level (monotone running max) for the
+    adaptive-width segment planner: heads contribute their table row
+    k+1, events their mult row, both mapped through `lvl` (identity
+    for ungrouped streams; the local-level table for grouped streams,
+    where a group event at LOCAL level l grows like a global level-l
+    value — tpu/schedule_subtree docstring)."""
+    lvl = np.asarray(lvl, np.int64)
+    nc = sc.nchunks
+    hs = np.asarray(sc.h_step, np.int64)
+    m = np.where(hs >= 0, lvl[np.clip(hs + 1, 0, len(lvl) - 1)],
+                 0).max(axis=1) if hs.size else np.zeros(nc, np.int64)
+    for ci, ev in ((1, sc.ev1), (2, sc.ev2)):
+        C = ev.shape[2]
+        valid = (np.arange(C)[None, None, :]
+                 < sc.counts[:, :, ci, None])          # [p, nc, C]
+        lv = np.where(valid, lvl[np.clip(ev[:, :, :, 1], 0,
+                                         len(lvl) - 1)], 0)
+        m = np.maximum(m, lv.max(axis=(0, 2)))
+    return np.maximum.accumulate(m).astype(np.int32)
+
+
 def build_sharded_stream(sched: SparseSchedule, p: int,
                          heads_per_chunk: int = 8,
                          pass1_events: int = 32,
@@ -339,6 +365,9 @@ def build_sharded_stream(sched: SparseSchedule, p: int,
     ses = ShardedEventStream(n=n, nnz=E, p=p, init_pos=sched.init_pos,
                              row_of=row_of_ext, factor=factor,
                              solve=solve, lnz=sched.lnz, unz=sched.unz)
+    lvl = np.arange(n + 2, dtype=np.int64)      # mult row == level
+    factor.max_level = sharded_chunk_levels(factor, lvl)
+    solve.max_level = sharded_chunk_levels(solve, lvl)
     _partition_value_table(ses)
     return ses
 

@@ -235,9 +235,26 @@ def _dissect_candidate(A: SlipMatrix, analysis: Analysis,
     gr = partition_groups(dependency_forest(sched_nd))
     if gr is None:
         return None
-    fixed_r = pin_rows_per_group(A, q_nd, r_nd, gr)
-    if fixed_r is None:
-        return None             # a block is singular: stay native
+    pair_g, demoted = pin_rows_per_group(A, q_nd, r_nd, gr,
+                                         report_bad=True)
+    if pair_g is None:
+        return None             # unrepairable block: stay native
+    # compose the full (column -> pivot row) assignment: block pivots
+    # from the repair, demoted pairs (an exactly-singular block's
+    # dependent column with the unpivoted row carrying its missing
+    # rank — see pin_rows_per_group), transversal rows elsewhere; the
+    # demoted columns move to the END of the order (the separator)
+    pair = {int(q_nd[k]): int(r_nd[k]) for k in range(n)}
+    pair.update(pair_g)
+    dem_cols = [c for c, _ in demoted]
+    for c, r2 in demoted:
+        pair[c] = r2
+    if demoted:
+        dset = set(dem_cols)
+        q_nd = np.asarray([c for c in q_nd if int(c) not in dset]
+                          + dem_cols, np.int64)
+    fixed_r = np.asarray([pair[int(c)] for c in q_nd], np.int64)
+    assert len(set(map(int, fixed_r))) == n   # still a permutation
     from ..errors import SlipSingularError
     from ..factorize import factorize
     old_q = analysis.q

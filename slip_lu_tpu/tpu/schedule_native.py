@@ -9,6 +9,7 @@ same device kernel.
 from __future__ import annotations
 
 import ctypes
+import os
 from typing import Optional, Tuple
 
 import numpy as np
@@ -80,6 +81,21 @@ def build_schedule_native(A: SlipMatrix, q: np.ndarray,
         if E < 0:
             raise SlipSingularError(
                 "matrix is structurally singular (no full transversal)")
+        # padded-tile budget: the schedule pads every step to the
+        # widest step's pattern (tile tables are n x rmax x cmax int32
+        # x 2) — an ordering with a few dense-ish steps can blow this
+        # past available memory (AMD on uni100k: >40 GB). Fail fast
+        # with advice instead of thrashing; Ordering.AUTO's cost model
+        # (analyze.symbolic_cost_estimate) avoids such orderings.
+        budget = int(os.environ.get("SLIP_SCHED_BUDGET",
+                                    512 * 1024 * 1024))  # elements
+        if n * rmax * cmax > budget:
+            raise SlipIncorrectInputError(
+                f"padded schedule (n={n} x rmax={rmax} x cmax={cmax}) "
+                f"exceeds the tile budget ({budget} elements, "
+                "SLIP_SCHED_BUDGET to raise) — this ordering "
+                "concentrates fill in wide steps; try order=NONE/AUTO "
+                "or the host backend")
         a32 = lambda *shape: np.zeros(shape, dtype=np.int32)
         row_of, col_of = a32(E), a32(E)
         init_pos = a32(nnzA)

@@ -615,9 +615,26 @@ def build_event_stream_grouped(sched: SparseSchedule, gr: Grouping,
                 emit_bwd(int(g[l]))
     solve = sb.finish()
 
+    # model level per chunk, for the adaptive-width segment planner
+    # (plan_segments): a group event at LOCAL level l handles l x l
+    # leaf-block minors — same bit-growth rate as global level l — so
+    # chain rows map to their local level; PD/merge/top rows pin full
+    # width. Monotone by construction (round-robin advances all groups
+    # together; merges and top come last).
+    lvl = np.zeros(R + 2, np.int64)
+    for i, g in enumerate(gr.groups):
+        for l in range(len(g) + 1):
+            lvl[int(gbase[i]) + l] = l
+    lvl[TB:] = n
+    for rr in pd_rows:
+        lvl[int(rr)] = n
+
     if p is not None:
         from ..parallel.stream_shard_fused import (ShardedEventStream,
-                                                   _partition_value_table)
+                                                   _partition_value_table,
+                                                   sharded_chunk_levels)
+        factor.max_level = sharded_chunk_levels(factor, lvl)
+        solve.max_level = sharded_chunk_levels(solve, lvl)
         row_all = np.concatenate(
             [row_of, [np.int32(n)]]).astype(np.int32)
         ses = ShardedEventStream(
@@ -634,19 +651,6 @@ def build_event_stream_grouped(sched: SparseSchedule, gr: Grouping,
         for c in range(sc.nchunks):
             n1 = int(sc.counts[c, 1])
             assert (sc.ev1[c, :n1, 3] == E).all(), c
-    # model level per chunk, for the adaptive-width segment planner
-    # (plan_segments): a group event at LOCAL level l handles l x l
-    # leaf-block minors — same bit-growth rate as global level l — so
-    # chain rows map to their local level; PD/merge/top rows pin full
-    # width. Monotone by construction (round-robin advances all groups
-    # together; merges and top come last).
-    lvl = np.zeros(R + 2, np.int64)
-    for i, g in enumerate(gr.groups):
-        for l in range(len(g) + 1):
-            lvl[int(gbase[i]) + l] = l
-    lvl[TB:] = n
-    for rr in pd_rows:
-        lvl[int(rr)] = n
 
     def _chunk_levels(sc):
         ml = np.zeros(sc.nchunks, np.int32)
@@ -677,7 +681,7 @@ def build_event_stream_grouped(sched: SparseSchedule, gr: Grouping,
 
 
 def pin_rows_per_group(A, q_nd: np.ndarray, r_u: np.ndarray,
-                       gr: Grouping) -> Optional[np.ndarray]:
+                       gr: Grouping, report_bad: bool = False):
     """Repair exact cancellations LOCALLY: factor each group's
     (independent) diagonal block on host with pivoting confined to the
     block, and compose a global pinned row sequence.
@@ -693,12 +697,21 @@ def pin_rows_per_group(A, q_nd: np.ndarray, r_u: np.ndarray,
 
     Top steps keep their transversal rows (a later exact host
     factorization with the composed sequence still certifies them).
-    Returns None when some block is genuinely singular — the caller
-    abandons the dissection."""
-    import dataclasses as _dc
 
+    A block can be EXACTLY singular even when the whole matrix is not —
+    its missing rank lives in the separator (first seen on uni100k's
+    mid leaf: the contiguous sub-band has rank m-1 under EVERY pivot
+    choice). With report_bad=True the repair drops the dependent
+    column TOGETHER WITH an unpivoted row of the stuck state (for a
+    rank-(m-1) block, adj(B) = sigma*u*v^T, so removing row r / col c
+    keeps full rank exactly when u_r, v_c != 0: the stuck column has
+    v_c != 0 by construction, the unpivoted rows carry the support of
+    u) and retries; the demoted (column, row) PAIRS pivot at the top.
+    Returns (pair, demoted) where pair maps every group column to its
+    pivot row and demoted lists the dropped pairs — or (None, [])
+    when unrepairable. report_bad=False keeps the old contract
+    (fixed_r array or None, no repair)."""
     from ..analyze import analyze
-    from ..convert import matrix_copy
     from ..errors import SlipSingularError
     from ..factorize import factorize
     from ..matrix import Kind, SlipMatrix, Type
@@ -707,32 +720,45 @@ def pin_rows_per_group(A, q_nd: np.ndarray, r_u: np.ndarray,
     n = A.n
     fixed_r = np.asarray(r_u, np.int64).copy()
     opts_loc = Options(order=Ordering.NONE, pivot=Pivot.DIAGONAL)
+    demoted: List[tuple] = []
+    pair: Dict[int, int] = {}
     for g in gr.groups:
         steps = [int(k) for k in g]
-        rows = [int(r_u[k]) for k in steps]      # original A rows
         cols = [int(q_nd[k]) for k in steps]     # original A columns
-        rpos = {r2: i for i, r2 in enumerate(rows)}
-        cpos = {c2: j for j, c2 in enumerate(cols)}
-        m = len(steps)
-        blk = SlipMatrix.allocate(Kind.CSC, Type.MPZ, m, m,
-                                  nzmax=max(1, int(A.p[n])))
-        nz = 0
-        for j, c2 in enumerate(cols):
-            blk.p[j] = nz
-            for idx in range(int(A.p[c2]), int(A.p[c2 + 1])):
-                i2 = rpos.get(int(A.i[idx]))
-                if i2 is not None and A.x[idx] != 0:
-                    blk.i[nz] = i2
-                    blk.x[nz] = A.x[idx]
-                    nz += 1
-        blk.p[m] = nz
-        blk.nz = nz
-        try:
-            F = factorize(blk, analyze(blk, opts_loc), opts_loc)
-        except SlipSingularError:
-            return None
+        rows = [int(r_u[k]) for k in steps]      # row POOL (original)
+        while True:
+            rpos = {r2: i for i, r2 in enumerate(rows)}
+            m = len(cols)
+            blk = SlipMatrix.allocate(Kind.CSC, Type.MPZ, m, m,
+                                      nzmax=max(1, int(A.p[n])))
+            nz = 0
+            for j, c2 in enumerate(cols):
+                blk.p[j] = nz
+                for idx in range(int(A.p[c2]), int(A.p[c2 + 1])):
+                    i2 = rpos.get(int(A.i[idx]))
+                    if i2 is not None and A.x[idx] != 0:
+                        blk.i[nz] = i2
+                        blk.x[nz] = A.x[idx]
+                        nz += 1
+            blk.p[m] = nz
+            blk.nz = nz
+            try:
+                F = factorize(blk, analyze(blk, opts_loc), opts_loc)
+                break
+            except SlipSingularError as e:
+                t = getattr(e, "k", None)
+                free = getattr(e, "free_rows", None)
+                if not report_bad or t is None or not free \
+                        or m <= 2 or len(demoted) > 16:
+                    return (None, []) if report_bad else None
+                demoted.append((cols[t], rows[int(free[0])]))
+                del rows[int(free[0])]
+                del steps[t], cols[t]
         for t, k in enumerate(steps):
+            pair[cols[t]] = rows[int(F.row_perm[t])]
             fixed_r[k] = rows[int(F.row_perm[t])]
+    if report_bad:
+        return pair, demoted
     return fixed_r
 
 

@@ -21,8 +21,12 @@ Two kinds of numbers are reported per topology:
     keeps its collective volume bounded.
 
 Usage:  python tools/scaling_sweep.py [matrix_stem=uni10k] [reps=1]
-        [--legacy]   (sweep the legacy op-per-step sharded path)
-Writes: SCALING.json at the repo root.
+        [--legacy]       (sweep the legacy op-per-step sharded path)
+        [--order=X]      (none|colamd|amd|auto; default colamd — the
+                          banded 100K+ corpus members are BUILT for
+                          the natural order, pass --order=none there)
+        [--out=FILE]     (default SCALING.json at the repo root)
+Writes: SCALING.json (or --out) at the repo root.
 """
 
 import json
@@ -57,6 +61,10 @@ def main() -> None:
     legacy = "--legacy" in sys.argv
     stem = args[0] if args else "uni10k"
     reps = int(args[1]) if len(args) > 1 else 1
+    _order = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                   if a.startswith("--order=")), "colamd")
+    _out = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                 if a.startswith("--out=")), "SCALING.json")
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     A = slip.read_triplet(os.path.join(root, "data/ExampleMats",
                                        f"{stem}_mat.txt"))
@@ -64,7 +72,10 @@ def main() -> None:
                                      f"{stem}_v.txt"))
     Ac = matrix_copy(A, Kind.CSC, Type.MPZ)
     nnz = int(Ac.p[Ac.n])
-    opts = slip.Options()
+    from slip_lu_tpu.options import Ordering
+    opts = slip.Options(order={
+        "none": Ordering.NONE, "colamd": Ordering.COLAMD,
+        "amd": Ordering.AMD, "auto": Ordering.AUTO}[_order])
     x_host = slip.backslash(A, b, Type.MPQ, opts)
     ana = analyze(Ac, opts)
 
@@ -121,10 +132,11 @@ def main() -> None:
                    "(serial chunk-scan shortening at constant per-chip "
                    "capacity) is the hardware-independent scaling "
                    "metric, with bit-exact parity asserted everywhere",
+           "order": _order,
            "sweep": rows}
-    with open(os.path.join(root, "SCALING.json"), "w") as f:
+    with open(os.path.join(root, _out), "w") as f:
         json.dump(out, f, indent=1)
-    print("wrote SCALING.json")
+    print(f"wrote {_out}")
 
 
 if __name__ == "__main__":
