@@ -75,12 +75,41 @@ def main() -> None:
 
     dev_nnz_s = nnz / dev_s
     host_nnz_s = nnz / host_s
-    print(json.dumps({
+    out = {
         "metric": "exact_solve_throughput",
         "value": round(dev_nnz_s, 2),
         "unit": "nnz/s",
         "vs_baseline": round(dev_nnz_s / host_nnz_s, 4),
-    }))
+    }
+
+    # --- scale member (uni100k, natural order — the regime where the
+    # ~45 ms tunnel sync floor stops dominating). Extra keys on the
+    # SAME JSON line so the driver's one-line contract holds.
+    scale = os.environ.get("SLIP_BENCH_SCALE", "uni100k")
+    if scale and scale != "0":
+        from slip_lu_tpu.options import Ordering, Options as Opt
+        A2 = matrix_copy(read_triplet(f"data/ExampleMats/{scale}_mat.txt"),
+                         Kind.CSC, Type.MPZ)
+        b2 = read_dense(f"data/ExampleMats/{scale}_v.txt")
+        nnz2 = int(A2.p[A2.n])
+        o2 = Opt(order=Ordering.NONE)
+        t0 = time.perf_counter()
+        x2h = backslash(A2, b2, Type.MPQ, o2)
+        host2 = time.perf_counter() - t0
+        ana2 = analyze(A2, o2)
+        x2 = run_dev(A2, ana2, b2, o2)          # compile + run
+        check_solution(A2, x2, b2)
+        for i in range(A2.n):
+            assert x2.x[i, 0] == x2h.x[i, 0], "scale device/oracle mismatch"
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            run_dev(A2, ana2, b2, o2)
+        dev2 = (time.perf_counter() - t0) / reps
+        out["scale_matrix"] = scale
+        out["scale_nnz_per_s"] = round(nnz2 / dev2, 2)
+        out["scale_vs_baseline"] = round((nnz2 / dev2) / (nnz2 / host2), 4)
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -191,7 +191,8 @@ def _choose_pivot(cands: List[Tuple[int, int]], diag_row: int,
 
 def factorize(A: SlipMatrix, analysis: Analysis,
               options: Optional[Options] = None,
-              fixed_r: Optional[np.ndarray] = None) -> Factorization:
+              fixed_r: Optional[np.ndarray] = None,
+              max_steps: Optional[int] = None) -> Factorization:
     """Left-looking REF LU of a CSC x MPZ matrix: PAQ = LDU.
 
     Raises SlipSingularError if some column has no eligible pivot
@@ -203,6 +204,12 @@ def factorize(A: SlipMatrix, analysis: Analysis,
     SlipSingularError at the first pinned pivot that is exactly zero
     (the device paths use this as the truth oracle for their ambiguous
     sing-with-overflow flag state).
+
+    max_steps, when given, stops after that many elimination steps and
+    returns the PARTIAL factorization (Lcols/Ucols/rhos of the first
+    max_steps columns; row_perm/-1 beyond) — the device drivers' cheap
+    value-aware width probe (IPGE entry widths grow ~linearly with
+    level, so a truncated run extrapolates the full width).
     """
     options = options or Options()
     options.validate()
@@ -225,7 +232,8 @@ def factorize(A: SlipMatrix, analysis: Analysis,
     def rho(t: int) -> int:
         return 1 if t < 0 else rhos[t]
 
-    for k in range(n):
+    n_run = n if max_steps is None else min(n, max_steps)
+    for k in range(n_run):
         col = int(q[k])
         a_rows = [int(A.i[idx]) for idx in range(int(A.p[col]), int(A.p[col + 1]))]
         a_vals = {int(A.i[idx]): int(A.x[idx])

@@ -148,16 +148,21 @@ def factorize_solve_fused_sharded(A: SlipMatrix, analysis: Analysis,
                     # shorten the scan but widen the pivots (uni100k:
                     # W 16 -> 112); adopt only when the modeled wall
                     # time wins at this chip count
+                    from ..tpu.backslash_fused import _width_probe
                     wc = getattr(analysis, "fused_width_cache", None)
-                    W_in0 = _input_width(
-                        [int(A.x[i]) for i in range(int(A.p[n]))])
-                    hb = getattr(analysis, "hadamard_bits_cache", None)
-                    if hb is None:
-                        hb = hadamard_bits(A)
-                        analysis.hadamard_bits_cache = hb
-                    Wf0 = factor_width(A, hbits=hb)
-                    West_u = wc[0] if wc else min(
-                        max(2, W_in0 + 1, min(-(-Wf0 // 16), 16)), Wf0)
+                    West_u = wc[0] if wc else _width_probe(
+                        A, analysis, options, fixed_r=r)
+                    if West_u is None:
+                        W_in0 = _input_width(
+                            [int(A.x[i]) for i in range(int(A.p[n]))])
+                        hb = getattr(analysis, "hadamard_bits_cache",
+                                     None)
+                        if hb is None:
+                            hb = hadamard_bits(A)
+                            analysis.hadamard_bits_cache = hb
+                        Wf0 = factor_width(A, hbits=hb)
+                        West_u = min(max(2, W_in0 + 1,
+                                         min(-(-Wf0 // 16), 16)), Wf0)
                     West_g = cand[4] if cand is not None else West_u
                     # per-chip value table must fit VMEM at the final
                     # segment width (the sharded path has no HBM val

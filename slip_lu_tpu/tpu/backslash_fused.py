@@ -272,6 +272,42 @@ def _dissect_candidate(A: SlipMatrix, analysis: Analysis,
     return analysis.nd_candidate
 
 
+def _width_probe(A: SlipMatrix, analysis: Analysis, options: Options,
+                 fixed_r=None, steps: int = 1024) -> Optional[int]:
+    """Value-aware limb-width estimate for the CURRENT order and pivot
+    rows: a TRUNCATED host REF factorization (first `steps` columns,
+    transversal rows pinned) with linear-rate extrapolation — IPGE
+    entry widths grow ~linearly with elimination level. Symbolic
+    estimates cannot see value effects (the banded corpus's natural
+    order has unit minors and W stays at the input width; a dissected
+    order of the same matrix grows to 112 limbs), and the adoption
+    cost model needs BOTH sides' widths, so this is the cheap probe
+    for the side that has no certified width. None on an exact
+    cancellation inside the probe window (caller falls back)."""
+    cache = getattr(analysis, "width_probe_cache", None)
+    key = None if fixed_r is None else fixed_r.tobytes()
+    if cache is not None and cache[0] == key:
+        return cache[1]
+    from ..errors import SlipSingularError
+    from ..factorize import factorize
+    n = A.n
+    s = min(n, steps)
+    try:
+        F = factorize(A, analysis, options, fixed_r=fixed_r,
+                      max_steps=s)
+    except SlipSingularError:
+        analysis.width_probe_cache = (key, None)
+        return None
+    Wmax = _tc_width((v for col in (F.Lcols + F.Ucols)
+                      for _, v in col), 1 << 30)
+    W_in = _tc_width((int(A.x[i]) for i in range(int(A.p[n]))),
+                     1 << 30)
+    est = Wmax + 1 if s >= n \
+        else max(Wmax, W_in + (Wmax - W_in) * n // s) + 1
+    analysis.width_probe_cache = (key, est)
+    return est
+
+
 def _pin_scheme_rows(A: SlipMatrix, analysis: Analysis,
                      options: Options) -> None:
     """options.pivot honored on the scheduled paths (pivot_exact=True):
@@ -397,15 +433,27 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
                         # ~quadratic in the adaptive segment width, and
                         # grouped chunks run at LOCAL widths
                         # (max_level model) — weight events by the
-                        # segment width the planner would choose
+                        # segment width the planner would choose.
+                        # Each stream is costed at ITS OWN width: the
+                        # grouped side has a certified Wx, the
+                        # ungrouped side is value-probed (a dissection
+                        # can widen pivots 16 -> 112 on the same
+                        # matrix, so one shared West mis-ranks them —
+                        # seen as a 456 -> 1123 ms uni100k:none
+                        # regression).
                         pchk = getattr(analysis, "fused_pin_check",
                                        None)
-                        West = cand[4] if cand is not None else (
+                        West_g = cand[4] if cand is not None else (
                             pchk[1] if (pchk is not None
                                         and pchk[0] == skey
                                         and pchk[1]) else None)
-                        if West is not None and West >= 32:
-                            def _wcost(s):
+                        if West_g is not None and West_g >= 32:
+                            West_u = _width_probe(A, analysis, options,
+                                                  fixed_r=r)
+                            if West_u is None:
+                                West_u = West_g
+
+                            def _wcost(s, West):
                                 c = 0.0
                                 for sc in (s.factor, s.solve):
                                     ml = np.asarray(sc.max_level,
@@ -414,10 +462,11 @@ def factorize_solve_tpu_fused(A: SlipMatrix, analysis: Analysis,
                                         West, West * (ml + 2) / n + 2)
                                     ev = (sc.counts[:, 1]
                                           + sc.counts[:, 2])
-                                    c += float((ev * (w / West) ** 2)
+                                    c += float((ev * (w / 8.0) ** 2)
                                                .sum())
                                 return c
-                            adopt = _wcost(es_g) < 0.8 * _wcost(es)
+                            adopt = (_wcost(es_g, West_g)
+                                     < 0.8 * _wcost(es, West_u))
                     if adopt:
                         es = es_g
                         if cand is not None:

@@ -95,13 +95,20 @@ def main():
     from slip_lu_tpu.tpu.backslash_fused import factorize_solve_tpu_fused
     from slip_lu_tpu.tpu.factor_fused import _r8, val_table_in_hbm
 
+    from slip_lu_tpu.options import Ordering
     rows = []
     for name in names:
-        A = matrix_copy(read_triplet(f"data/ExampleMats/{name}_mat.txt"),
+        # "stem:order" selects the ordering (e.g. uni100k:none — the
+        # banded 100K+ members are built for the natural order)
+        stem, _, osel = name.partition(":")
+        order = {"": Ordering.COLAMD, "colamd": Ordering.COLAMD,
+                 "none": Ordering.NONE, "amd": Ordering.AMD,
+                 "auto": Ordering.AUTO}[osel]
+        A = matrix_copy(read_triplet(f"data/ExampleMats/{stem}_mat.txt"),
                         Kind.CSC, Type.MPZ)
-        b = read_dense(f"data/ExampleMats/{name}_v.txt")
+        b = read_dense(f"data/ExampleMats/{stem}_v.txt")
         nnz = int(A.p[A.n])
-        opts = Options()
+        opts = Options(order=order)
         ana = analyze(A, opts)
         factorize_solve_tpu_fused(A, ana, b, opts)   # converge widths
         reps = int(os.environ.get("REPS", "3"))
