@@ -58,6 +58,118 @@ def _pad_bc(chunks, dummy):
     return bidx, mbc
 
 
+def plan_sharded(A: SlipMatrix, analysis: Analysis, p: int,
+                 options: Options, heads_per_chunk: int = 8,
+                 pass1_events: int = 32, pass2_events: int = 128):
+    """The sharded driver's planning phase: schedule + chip-partitioned
+    stream for a p-chip mesh, with grouped (subtree-local) adoption.
+
+    Callable without executing anything on devices —
+    tools/scaling_sweep uses it for structural metrics at topologies
+    it does not run. Returns (sched, r, ses, avals, q) and caches on
+    the Analysis under (p, capacities, pinned-rows) like every other
+    driver phase.
+
+    Grouped adoption: G independent groups feed every chunk, so
+    per-chip capacity BINDS and p chips shorten the serial chunk scan
+    by up to p (ungrouped streams hazard-cut at ~1.5 elimination
+    steps and never fill the capacity). The decision is width-aware —
+    a dissection reorder can shorten the scan but widen the pivots
+    (uni100k: W 16 -> 112), so each candidate stream is costed at ITS
+    OWN width and adopted only when the modeled wall time wins at
+    this chip count."""
+    n = A.n
+    q = np.asarray(analysis.q, dtype=np.int64)
+    fixed_r = analysis.sparse_fixed_r
+    skey = None if fixed_r is None else fixed_r.tobytes()
+    key = (p, heads_per_chunk, pass1_events, pass2_events, skey)
+    cache = getattr(analysis, "fused_shard_cache", None)
+    if cache is not None and cache[0] == key:
+        return cache[1] + (q,)
+    q, built = _resolve_order(A, analysis, q, fixed_r)
+    sched, r = built if built is not None \
+        else build_schedule_best(A, q, fixed_r)
+    ses = build_sharded_stream(sched, p, heads_per_chunk,
+                               pass1_events, pass2_events)
+    subtree_mode = os.environ.get("SLIP_FUSED_SUBTREE", "1")
+    if subtree_mode != "0":
+        from ..tpu.schedule_subtree import try_build_grouped
+        ses_g = try_build_grouped(
+            sched, 8, max(64, pass1_events), pass2_events, p=p)
+        cand = None
+        if ses_g is None and fixed_r is None and n >= 192:
+            cand = _dissect_candidate(A, analysis, options)
+            if cand is not None:
+                ses_g = try_build_grouped(
+                    cand[2], 8, max(64, pass1_events),
+                    pass2_events, p=p)
+
+        def scan(s):
+            return s.factor.nchunks + s.solve.nchunks
+
+        def _cost(s, West):
+            # modeled per-solve wall: per-chunk scalar floor (~15 us
+            # measured, CK postmortem) + per-event MAC cost quadratic
+            # in the segment width the planner will choose (~2 ns at
+            # one 8-limb group, calibrated on uni100k 16- and 352-limb
+            # runs). Events divide across chips; the scan does not.
+            F, Ec = 15e-6, 2e-9
+            tot = 0.0
+            for sc in (s.factor, s.solve):
+                ml = np.asarray(sc.max_level, np.float64)
+                wq = (np.minimum(
+                    West, West * (ml + 2) / n + 2) / 8.0) ** 2
+                ev = sc.counts[:, :, 1:3].sum(
+                    axis=(0, 2)).astype(np.float64)
+                tot += (F * sc.nchunks
+                        + Ec * float((ev / p * wq).sum()))
+            return tot
+
+        adopt = ses_g is not None and subtree_mode == "force"
+        if ses_g is not None and not adopt:
+            from ..tpu.backslash_fused import _width_probe
+            wc = getattr(analysis, "fused_width_cache", None)
+            West_u = wc[0] if wc else _width_probe(
+                A, analysis, options, fixed_r=r)
+            if West_u is None:
+                W_in0 = _input_width(
+                    [int(A.x[i]) for i in range(int(A.p[n]))])
+                hb = getattr(analysis, "hadamard_bits_cache", None)
+                if hb is None:
+                    hb = hadamard_bits(A)
+                    analysis.hadamard_bits_cache = hb
+                Wf0 = factor_width(A, hbits=hb)
+                West_u = min(max(2, W_in0 + 1,
+                                 min(-(-Wf0 // 16), 16)), Wf0)
+            West_g = cand[4] if cand is not None else West_u
+            # per-chip value table must fit VMEM at the final
+            # segment width (the sharded path has no HBM val mode yet)
+            fits = (_r8(ses_g.Lp) * _r8(West_g) * 4
+                    <= int(os.environ.get(
+                        "SLIP_SHARD_VMEM", 90 * 1024 * 1024)))
+            adopt = (fits and scan(ses_g) < scan(ses)
+                     and _cost(ses_g, West_g)
+                     < 0.9 * _cost(ses, West_u))
+        if adopt:
+            ses = ses_g
+            if cand is not None:
+                # commit the dissection: reorder, pinned rows,
+                # exact width seed, fresh cache keys
+                q, fixed_r, sched, r, _Wx = cand
+                analysis.q = q
+                analysis.sparse_fixed_r = fixed_r
+                skey = fixed_r.tobytes()
+                analysis.fused_pin_check = (skey, _Wx)
+                analysis.fused_sched_only_cache = (skey, (sched, r))
+                key = (p, heads_per_chunk, pass1_events,
+                       pass2_events, skey)
+    Aq = _permute_cols(A, q)
+    avals = [int(Aq.x[idx]) for c in range(n)
+             for idx in range(int(Aq.p[c]), int(Aq.p[c + 1]))]
+    analysis.fused_shard_cache = (key, (sched, r, ses, avals))
+    return sched, r, ses, avals, q
+
+
 def factorize_solve_fused_sharded(A: SlipMatrix, analysis: Analysis,
                                   b: SlipMatrix, mesh: Mesh,
                                   options: Optional[Options] = None,
@@ -84,113 +196,12 @@ def factorize_solve_fused_sharded(A: SlipMatrix, analysis: Analysis,
     if options.pivot_exact:
         from ..tpu.backslash_fused import _pin_scheme_rows
         _pin_scheme_rows(A, analysis, options)
-    q = np.asarray(analysis.q, dtype=np.int64)
-    fixed_r = analysis.sparse_fixed_r
 
     with phase_timer(st, "schedule"):
-        skey = None if fixed_r is None else fixed_r.tobytes()
-        key = (p, heads_per_chunk, pass1_events, pass2_events, skey)
-        cache = getattr(analysis, "fused_shard_cache", None)
-        if cache is not None and cache[0] == key:
-            sched, r, ses, avals = cache[1]
-        else:
-            q, built = _resolve_order(A, analysis, q, fixed_r)
-            sched, r = built if built is not None \
-                else build_schedule_best(A, q, fixed_r)
-            ses = build_sharded_stream(sched, p, heads_per_chunk,
-                                       pass1_events, pass2_events)
-            subtree_mode = os.environ.get("SLIP_FUSED_SUBTREE", "1")
-            if subtree_mode != "0":
-                # subtree-local (grouped) streams, chip-partitioned:
-                # G independent groups feed every chunk, so per-chip
-                # capacity BINDS and p chips shorten the serial chunk
-                # scan by up to p (ungrouped streams hazard-cut at
-                # ~1.5 steps and never fill the capacity). Adoption is
-                # on scan length alone — chips divide the events, the
-                # scan is shared (unlike the single-chip driver's
-                # event-inflation guard).
-                from ..tpu.schedule_subtree import try_build_grouped
-                ses_g = try_build_grouped(
-                    sched, 8, max(64, pass1_events), pass2_events, p=p)
-                cand = None
-                if ses_g is None and fixed_r is None and n >= 192:
-                    cand = _dissect_candidate(A, analysis, options)
-                    if cand is not None:
-                        ses_g = try_build_grouped(
-                            cand[2], 8, max(64, pass1_events),
-                            pass2_events, p=p)
-
-                def scan(s):
-                    return s.factor.nchunks + s.solve.nchunks
-
-                def _cost(s, West):
-                    # modeled per-solve wall: per-chunk scalar floor
-                    # (~15 us measured, CK postmortem) + per-event MAC
-                    # cost quadratic in the segment width the planner
-                    # will choose (~2 ns at one 8-limb group,
-                    # calibrated on uni100k 16- and 352-limb runs).
-                    # Events divide across chips; the scan does not.
-                    F, Ec = 15e-6, 2e-9
-                    tot = 0.0
-                    for sc in (s.factor, s.solve):
-                        ml = np.asarray(sc.max_level, np.float64)
-                        wq = (np.minimum(
-                            West, West * (ml + 2) / n + 2) / 8.0) ** 2
-                        ev = sc.counts[:, :, 1:3].sum(
-                            axis=(0, 2)).astype(np.float64)
-                        tot += (F * sc.nchunks
-                                + Ec * float((ev / p * wq).sum()))
-                    return tot
-
-                adopt = ses_g is not None and subtree_mode == "force"
-                if ses_g is not None and not adopt:
-                    # width-aware adoption: a dissection reorder can
-                    # shorten the scan but widen the pivots (uni100k:
-                    # W 16 -> 112); adopt only when the modeled wall
-                    # time wins at this chip count
-                    from ..tpu.backslash_fused import _width_probe
-                    wc = getattr(analysis, "fused_width_cache", None)
-                    West_u = wc[0] if wc else _width_probe(
-                        A, analysis, options, fixed_r=r)
-                    if West_u is None:
-                        W_in0 = _input_width(
-                            [int(A.x[i]) for i in range(int(A.p[n]))])
-                        hb = getattr(analysis, "hadamard_bits_cache",
-                                     None)
-                        if hb is None:
-                            hb = hadamard_bits(A)
-                            analysis.hadamard_bits_cache = hb
-                        Wf0 = factor_width(A, hbits=hb)
-                        West_u = min(max(2, W_in0 + 1,
-                                         min(-(-Wf0 // 16), 16)), Wf0)
-                    West_g = cand[4] if cand is not None else West_u
-                    # per-chip value table must fit VMEM at the final
-                    # segment width (the sharded path has no HBM val
-                    # mode yet)
-                    fits = (_r8(ses_g.Lp) * _r8(West_g) * 4
-                            <= int(os.environ.get(
-                                "SLIP_SHARD_VMEM", 90 * 1024 * 1024)))
-                    adopt = (fits and scan(ses_g) < scan(ses)
-                             and _cost(ses_g, West_g)
-                             < 0.9 * _cost(ses, West_u))
-                if adopt:
-                    ses = ses_g
-                    if cand is not None:
-                        # commit the dissection: reorder, pinned rows,
-                        # exact width seed, fresh cache keys
-                        q, fixed_r, sched, r, _Wx = cand
-                        analysis.q = q
-                        analysis.sparse_fixed_r = fixed_r
-                        skey = fixed_r.tobytes()
-                        analysis.fused_pin_check = (skey, _Wx)
-                        analysis.fused_sched_only_cache = (
-                            skey, (sched, r))
-                        key = (p, heads_per_chunk, pass1_events,
-                               pass2_events, skey)
-            Aq = _permute_cols(A, q)
-            avals = [int(Aq.x[idx]) for c in range(n)
-                     for idx in range(int(Aq.p[c]), int(Aq.p[c + 1]))]
-            analysis.fused_shard_cache = (key, (sched, r, ses, avals))
+        sched, r, ses, avals, q = plan_sharded(
+            A, analysis, p, options, heads_per_chunk, pass1_events,
+            pass2_events)
+    fixed_r = analysis.sparse_fixed_r
     st.lnz, st.unz = ses.lnz, ses.unz
     E = ses.nnz
     Lp8 = _r8(ses.Lp)

@@ -93,31 +93,49 @@ def main() -> None:
                   ("2x4", make_mesh_2d(jax.devices()[:8], hosts=2)),
                   ("4x2", make_mesh_2d(jax.devices()[:8], hosts=4))]
 
+    # --exec=1x1,1x8 executes (and parity-checks) only the listed
+    # topologies; the rest report STRUCTURAL columns only, from the
+    # driver's own planning phase (plan_sharded — identical stream
+    # selection, nothing dispatched). Interpret-mode execution of a
+    # 100K-nnz member costs tens of minutes per topology on the
+    # virtual mesh; the structural metric is the hardware-independent
+    # one (module docstring), so planning-only topologies lose nothing
+    # but the (meaningless there) wall number.
+    _exec = next((a.split("=", 1)[1].split(",") for a in sys.argv[1:]
+                  if a.startswith("--exec=")), None)
+
     rows = []
     nc1 = None
     for name, mesh in topologies:
-        x = run(Ac, ana, b, mesh, opts)                   # compile
-        exact = all(x.x[i, j] == x_host.x[i, j]
-                    for i in range(x.m) for j in range(x.n))
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            run(Ac, ana, b, mesh, opts)
-        warm = (time.perf_counter() - t0) / reps
-        row = {"topology": name, "devices": int(mesh.devices.size),
-               "warm_s": round(warm, 4),
-               "nnz_per_s": round(nnz / warm, 1),
-               "bit_exact": exact}
+        pdev = int(mesh.devices.size)
+        row = {"topology": name, "devices": pdev}
+        if _exec is None or name in _exec:
+            x = run(Ac, ana, b, mesh, opts)               # compile
+            exact = all(x.x[i, j] == x_host.x[i, j]
+                        for i in range(x.m) for j in range(x.n))
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                run(Ac, ana, b, mesh, opts)
+            warm = (time.perf_counter() - t0) / reps
+            row.update({"warm_s": round(warm, 4),
+                        "nnz_per_s": round(nnz / warm, 1),
+                        "bit_exact": exact})
+        elif not legacy:
+            from slip_lu_tpu.parallel.driver_fused import plan_sharded
+            plan_sharded(Ac, ana, pdev, opts)
+            row["planned_only"] = True
         if not legacy:
             cache = getattr(ana, "fused_shard_cache", None)
             if cache is not None:
                 ses = cache[1][2]
                 ncf = ses.factor.nchunks
                 ncs = ses.solve.nchunks
-                if mesh.devices.size == 1:
+                if pdev == 1:
                     nc1 = ncf + ncs
                 row.update({
                     "factor_chunks": ncf, "solve_chunks": ncs,
                     "bc_capacity": int(ses.factor.CB),
+                    "grouped": ses.ndet is not None,
                     "structural_speedup": round(
                         nc1 / (ncf + ncs), 3) if nc1 else 1.0})
         rows.append(row)
