@@ -94,15 +94,21 @@ def plan_sharded(A: SlipMatrix, analysis: Analysis, p: int,
     subtree_mode = os.environ.get("SLIP_FUSED_SUBTREE", "1")
     if subtree_mode != "0":
         from ..tpu.schedule_subtree import try_build_grouped
+        # group count scales with the mesh: more, smaller groups keep
+        # per-chip capacity binding and shorten the solve scan
+        # (uni100k at 8 chips: G=8 -> 16 cuts it 3486 -> 1967 chunks)
+        G = min(32, max(8, 2 * p))
         ses_g = try_build_grouped(
-            sched, 8, max(64, pass1_events), pass2_events, p=p)
+            sched, 8, max(64, pass1_events), pass2_events,
+            n_groups=G, p=p)
         cand = None
         if ses_g is None and fixed_r is None and n >= 192:
-            cand = _dissect_candidate(A, analysis, options)
+            cand = _dissect_candidate(A, analysis, options,
+                                      n_groups=G)
             if cand is not None:
                 ses_g = try_build_grouped(
                     cand[2], 8, max(64, pass1_events),
-                    pass2_events, p=p)
+                    pass2_events, n_groups=G, p=p)
 
         def scan(s):
             return s.factor.nchunks + s.solve.nchunks

@@ -197,7 +197,7 @@ def _auto_capacities(sched, n: int):
 
 
 def _dissect_candidate(A: SlipMatrix, analysis: Analysis,
-                       options: Options):
+                       options: Options, n_groups: int = 8):
     """One-time per analysis: when the native ordering's dependency
     forest is a chain (banded matrices under natural/COLAMD order),
     prepare — but do NOT commit — a dissection reorder so the grouped
@@ -211,11 +211,27 @@ def _dissect_candidate(A: SlipMatrix, analysis: Analysis,
     analogue), and the exact limb width is captured so an adopting
     caller skips the widen ladder. Returns
     (q_nd, fixed_r, sched_nd, r_nd, Wx) or None; the CALLER adopts
-    only if the grouped stream actually wins."""
-    if hasattr(analysis, "nd_candidate"):
-        return analysis.nd_candidate
-    analysis.nd_candidate = None
+    only if the grouped stream actually wins.
+
+    n_groups sets the dissection depth (cached per value): the sharded
+    planner scales it with the chip count — more, smaller groups keep
+    per-chip capacity binding and shorten the solve scan (uni100k at 8
+    chips: G=8 -> G=16 cuts the solve scan 3486 -> 1967 chunks)."""
+    cache = getattr(analysis, "nd_candidate", None)
+    if cache is not None and n_groups in cache:
+        return cache[n_groups]
+    if cache is None:
+        cache = analysis.nd_candidate = {}
+    cache[n_groups] = None
     n = A.n
+    if n > int(os.environ.get("SLIP_DISSECT_NMAX", 65536)):
+        # the candidate must be CERTIFIED by one full host REF LU
+        # (top cancellations), and a dissected order's pivot values
+        # grow with leaf size — at 100K+ columns that certification
+        # costs minutes of big-integer work for a candidate the width
+        # model would likely reject anyway (leaf minors ~n/G levels
+        # deep). Scale there comes from sharding the natural order.
+        return None
     from .schedule_subtree import (dependency_forest, dissect_order,
                                    partition_groups,
                                    pin_rows_per_group)
@@ -228,11 +244,12 @@ def _dissect_candidate(A: SlipMatrix, analysis: Analysis,
         sched0, r0 = built if built is not None \
             else build_schedule_best(A, q0, None)
         analysis.fused_sched_only_cache = (None, (sched0, r0))
-    q_nd = dissect_order(A)
+    q_nd = dissect_order(A, n_groups=n_groups)
     sched_nd, r_nd = build_schedule_best(A, q_nd, None)
     if sched_nd.lnz + sched_nd.unz > 1.9 * (sched0.lnz + sched0.unz):
         return None             # fill guard: reorder not worth it
-    gr = partition_groups(dependency_forest(sched_nd))
+    gr = partition_groups(dependency_forest(sched_nd),
+                          n_groups=n_groups)
     if gr is None:
         return None
     pair_g, demoted = pin_rows_per_group(A, q_nd, r_nd, gr,
@@ -268,8 +285,8 @@ def _dissect_candidate(A: SlipMatrix, analysis: Analysis,
     sched_p, r_p = build_schedule_best(A, q_nd, fixed_r)
     Wx = _tc_width((v for col in (F.Lcols + F.Ucols)
                     for _, v in col), 1 << 30) + 1
-    analysis.nd_candidate = (q_nd, fixed_r, sched_p, r_p, Wx)
-    return analysis.nd_candidate
+    cache[n_groups] = (q_nd, fixed_r, sched_p, r_p, Wx)
+    return cache[n_groups]
 
 
 def _width_probe(A: SlipMatrix, analysis: Analysis, options: Options,
