@@ -275,20 +275,31 @@ def factorize_solve_fused_sharded(A: SlipMatrix, analysis: Analysis,
         st.W, st.Ws = W8, Ws8
         # adaptive-width chunk segments (single-chip plan_segments
         # model: a level-L chunk runs at ~W*(L+1)/n limbs); widths
-        # re-planned per ladder rung, overflow widens the whole rung
+        # re-planned per ladder rung, overflow widens the whole rung.
+        # Short scans skip segmentation: every extra segment is
+        # another compiled scan program + relift boundary, which only
+        # amortizes at scale (a 2-segment plan on a 157-chunk solve
+        # stream doubled a CI test's compile time for ~zero MACs
+        # saved).
         from ..tpu.backslash_fused import _merged, plan_segments
         Wmin_in = max(2, W_in + 1)
         segments = _merged(plan_segments(
-            ses.factor.max_level, n, W, Wmin_in))
+            ses.factor.max_level, n, W, Wmin_in)) \
+            if ses.factor.nchunks >= 256 \
+            else ((0, ses.factor.nchunks, W8),)
         bcols = [[int(bz.x[int(r[k]), c]) for k in range(n)]
                  for c in range(nrhs)]
         Wb = _tc_width((v for col in bcols for v in col), Ws8)
-        ssegplan = plan_segments(ses.solve.max_level, n,
-                                 max(Ws, W + 1), max(Wmin_in, Wb + 1))
-        for sp in ssegplan:
-            sp[2] = min(max(sp[2], _r8(Wb + 1)), Ws8)
-        ssegplan[-1][2] = Ws8
-        ssegments = _merged(ssegplan)
+        if ses.solve.nchunks >= 256:
+            ssegplan = plan_segments(
+                ses.solve.max_level, n, max(Ws, W + 1),
+                max(Wmin_in, Wb + 1))
+            for sp in ssegplan:
+                sp[2] = min(max(sp[2], _r8(Wb + 1)), Ws8)
+            ssegplan[-1][2] = Ws8
+            ssegments = _merged(ssegplan)
+        else:
+            ssegments = ((0, ses.solve.nchunks, Ws8),)
         w0 = segments[0][2]
         ws0 = ssegments[0][2]
         with phase_timer(st, "pack"):
