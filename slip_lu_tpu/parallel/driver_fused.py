@@ -2,11 +2,13 @@
 multi-chip).
 
 Mirrors tpu/backslash_fused.py's pipeline — schedule + chunk streams +
-optimistic widths with a sound widen-and-retry ladder — but the streams
+optimistic widths with a sound widen-and-retry ladder, adaptive-width
+segments on long scans, grouped (subtree-local) stream adoption, and
+per-chip HBM-resident value tables once the partitioned table outgrows
+VMEM (val_table_in_hbm at the per-chip row count) — but the streams
 are chip-partitioned (stream_shard_fused.py) and the device program is
-the sharded superstep scan (factor_fused_shard.py). v1 runs a single
-full-width segment (no adaptive-width segmentation) and falls back to
-the single-chip fused driver on exact pivot cancellation (which replans
+the sharded superstep scan (factor_fused_shard.py). Exact pivot
+cancellation falls back to the single-chip fused driver (which replans
 there; reference analogue: slip_get_pivot.c's dynamic search).
 """
 
@@ -148,11 +150,14 @@ def plan_sharded(A: SlipMatrix, analysis: Analysis, p: int,
                 West_u = min(max(2, W_in0 + 1,
                                  min(-(-Wf0 // 16), 16)), Wf0)
             West_g = cand[4] if cand is not None else West_u
-            # per-chip value table must fit VMEM at the final
-            # segment width (the sharded path has no HBM val mode yet)
-            fits = (_r8(ses_g.Lp) * _r8(West_g) * 4
-                    <= int(os.environ.get(
-                        "SLIP_SHARD_VMEM", 90 * 1024 * 1024)))
+            # per-chip value table must fit VMEM at the final segment
+            # width — or, failing that, the per-chip HBM budget (the
+            # sharded HBM val mode then moves rows by async DMA)
+            bytes_g = _r8(ses_g.Lp) * _r8(West_g) * 4
+            fits = (bytes_g <= int(os.environ.get(
+                        "SLIP_SHARD_VMEM", 90 * 1024 * 1024))
+                    or bytes_g <= int(os.environ.get(
+                        "SLIP_SHARD_HBM", 2 * 1024 ** 3)))
             adopt = (fits and scan(ses_g) < scan(ses)
                      and _cost(ses_g, West_g)
                      < 0.9 * _cost(ses, West_u))
@@ -302,15 +307,25 @@ def factorize_solve_fused_sharded(A: SlipMatrix, analysis: Analysis,
             ssegments = ((0, ses.solve.nchunks, Ws8),)
         w0 = segments[0][2]
         ws0 = ssegments[0][2]
+        # per-SEGMENT value-table layout: HBM planes once the per-chip
+        # partition outgrows the VMEM budget (p× later than the
+        # single-chip path — partitioning IS the first scale lever)
+        from ..tpu import factor_fused as _ff
+        hbm_segs = tuple(_ff.val_table_in_hbm(Lp8, wseg)
+                         for (_, _, wseg) in segments)
         with phase_timer(st, "pack"):
-            # per-chip partitioned value table [p, Lp8, w0]
-            val_in = np.zeros((p, Lp8, w0), dtype=np.int32)
-            val_in[ses.init_chip, ses.init_loc] = ints_to_tc_rows(
+            # per-chip partitioned value table [p, Lp8, w0]; HBM
+            # first segment packs slots as KR 128-lane plane rows
+            wv0 = _ff._r128(w0) if hbm_segs[0] else w0
+            val_in = np.zeros((p, Lp8, wv0), dtype=np.int32)
+            val_in[ses.init_chip, ses.init_loc, :w0] = ints_to_tc_rows(
                 avals, w0)
             if ses.extra_chip is not None and len(ses.extra_chip):
                 # grouped streams: constant / scratch slot inits
-                val_in[ses.extra_chip, ses.extra_loc] = ints_to_tc_rows(
-                    ses.extra_vals, w0)
+                val_in[ses.extra_chip, ses.extra_loc, :w0] = \
+                    ints_to_tc_rows(ses.extra_vals, w0)
+            if hbm_segs[0]:
+                val_in = val_in.reshape(p, Lp8 * (wv0 // 128), 128)
             X8 = _r8(n + 1 + ses.nxx)
             X0 = np.zeros((nrhs, X8, ws0), dtype=np.int32)
             for c in range(nrhs):
@@ -339,7 +354,8 @@ def factorize_solve_fused_sharded(A: SlipMatrix, analysis: Analysis,
                 jnp.asarray(xown),
                 jnp.asarray(val_in),
                 jnp.asarray(X0), ndet=ses.ndet,
-                segments=segments, ssegments=ssegments)))
+                segments=segments, ssegments=ssegments,
+                hbm_segs=hbm_segs, Lp8=Lp8)))
         fsing, fovf, sovf = (bool(flat[0]), bool(flat[1]),
                              bool(flat[2]))
         sing_seen = sing_seen or fsing

@@ -34,8 +34,9 @@ from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import pallas_limbs as pk
-from ..tpu.factor_fused import (_heads_phase, _lift_phase, _pass_body,
-                                _interpret, _r8, ints_to_tc_rows,
+from ..tpu.factor_fused import (_gather_row, _heads_phase, _lift_phase,
+                                _pass_body, _interpret, _r8, _r128,
+                                _scatter_row, ints_to_tc_rows,
                                 tc_rows_to_ints)
 from .shard import mesh_axes
 
@@ -53,12 +54,22 @@ def _ab_kernel(cnt, hs, hsl, hd, ev1, bidx, bcn, diag_b,
                val_in, SMT_in, GT_in, TZ_in, facc_in, mbc,
                val, SMT, GT, TZ, facc, bc_out,
                *scratch, n, E, W8, WN, WQ, WV, WI8, H, C1, CB8,
-               heads, Wt, is_solve):
+               heads, Wt, is_solve, hbm=False, KR=1):
     """One chunk: replicated heads (+lift) -> local pass 1 -> B gather.
 
     For the solve stream (is_solve=True) `val` is X ([X8, Ws8]) and the
     a-operands come from the separate finished value table passed as
-    `diag_b`'s sibling — see _solve caller (heads=False there)."""
+    `diag_b`'s sibling — see _solve caller (heads=False there).
+
+    hbm=True (factor stream only): the per-chip value table lives in
+    ANY/HBM memory as [Lp8*KR, 128] packed planes (KR 128-lane rows per
+    slot, factor_fused docstring); pivot writes, pass-1 row traffic and
+    the B gather move single rows by async DMA instead of keeping the
+    table VMEM-resident."""
+    if hbm:
+        *scratch, hrows, bgat, sem = scratch
+    else:
+        hrows = bgat = sem = None
     (gat_t, gat_m, gat_a, gat_b, gat_g, gat_z, gat_dm, scat,
      mT1, bT1, iT1, acc0a, acc1a, pA1, pB1, qb1,
      hgx, hgm, hgi, hgz, hgv, hmT, hiT, hbT, nbuf, Rbuf,
@@ -85,7 +96,16 @@ def _ab_kernel(cnt, hs, hsl, hd, ev1, bidx, bcn, diag_b,
                          hgx, hgm, hgi, hgz, hgv, hmT, hiT, hbT,
                          nbuf, Rbuf, lacc0, lacc1, ld, ltz, facc,
                          W8=W8, WN=WN, WQ=WQ, WV=WV, WI8=WI8, G=1,
+                         hbm=hbm, hrows=hrows, sem=sem, KR=KR,
                          diag_ext=diag_b)
+
+        if hbm:
+            # pivot-row DMAs must land before pass 1 gathers them
+            for t in range(H):
+                @pl.when(ks[t] >= 0)
+                def _hww():
+                    _scatter_row(hrows, t, val, slots[t], KR, sem,
+                                 wait=True)
 
         @pl.when(any_heads)
         def _l():
@@ -96,37 +116,69 @@ def _ab_kernel(cnt, hs, hsl, hd, ev1, bidx, bcn, diag_b,
                val, SMT, GT, TZ, gat_t, gat_m, gat_a, gat_b, gat_g,
                gat_z, gat_dm, scat,
                (mT1, bT1, iT1, acc0a, acc1a, pA1, pB1, qb1),
-               facc, val, flag_slot=3, hbm=(False, False, False),
-               sem=None, KR=1, has_ab=False,
+               facc, val, flag_slot=3, hbm=(hbm, False, False),
+               sem=sem, KR=KR, has_ab=False,
                m0=(fl & 1) != 0, d0=(fl & 4) != 0,
                um=(fl & 16) != 0, ud=(fl & 32) != 0)
 
     # B-operand gather, owner-masked (post-pass-1 values)
     bc_out[:] = jnp.zeros_like(bc_out)
 
-    def bcg(e, _):
-        idx = bidx[0, e]
-        m = mbc[0, e]
-        bc_out[pl.ds(e, 1), :] = val[pl.ds(idx, 1), :] * m
-        return 0
+    if hbm:
+        def bcg_i(e, _):
+            _gather_row(val, bidx[0, e], bgat, e, KR, sem)
+            return 0
 
-    lax.fori_loop(0, bcn[0, 0], bcg, 0)
+        def bcg_w(e, _):
+            _gather_row(val, bidx[0, e], bgat, e, KR, sem, wait=True)
+            return 0
+
+        def bcg_m(e, _):
+            row = jnp.concatenate(
+                [bgat[k2, pl.ds(e, 1), :] for k2 in range(KR)],
+                axis=1)
+            bc_out[pl.ds(e, 1), :] = row[:, :Wt] * mbc[0, e]
+            return 0
+
+        lax.fori_loop(0, bcn[0, 0], bcg_i, 0)
+        lax.fori_loop(0, bcn[0, 0], bcg_w, 0)
+        lax.fori_loop(0, bcn[0, 0], bcg_m, 0)
+    else:
+        def bcg(e, _):
+            idx = bidx[0, e]
+            m = mbc[0, e]
+            bc_out[pl.ds(e, 1), :] = val[pl.ds(idx, 1), :] * m
+            return 0
+
+        lax.fori_loop(0, bcn[0, 0], bcg, 0)
 
 
 # ------------------------------------------------------------------- C
 def _c_kernel(cnt, ev2, bidx, bcn, bc, a_src, SMT, GT, TZ,
               val_in, facc_in, val, facc,
-              *scratch, n, E, W8, WN, WQ, WV, WI8, C2, Wt, is_solve):
+              *scratch, n, E, W8, WN, WQ, WV, WI8, C2, Wt, is_solve,
+              hbm_t=False, hbm_a=False, KR=1):
     """One chunk: local pass 2.
 
     Factor stream (is_solve=False): the B operands are POSITIONS into
     the psum-broadcast bc buffer and read straight from it — remote
     slot values are never stored (partitioned value table). Solve
     stream: B operands are X rows; the broadcast scatters into the
-    full per-chip X first."""
+    full per-chip X first.
+
+    hbm_t: the target value table is HBM-packed planes (factor stream
+    at scale) — `a_src` is then a dummy and the a operands read through
+    the SAME aliased ref (the single-chip kernel's layout). hbm_a
+    without hbm_t: solve stream whose finished factor table is
+    HBM-packed (a rows DMA-gather; X stays VMEM)."""
+    if hbm_t or hbm_a:
+        *scratch, sem = scratch
+    else:
+        sem = None
     (gat_t, gat_m, gat_a, gat_b, gat_g, gat_z, gat_dm, scat,
      mT2, bT2, iT2, acc0b, acc1b, pA2, pB2, qb2) = scratch
     fl = cnt[0, 3]
+    a_ref = val if (hbm_t and not is_solve) else a_src
 
     if is_solve:
         def sct(e, _):
@@ -137,19 +189,19 @@ def _c_kernel(cnt, ev2, bidx, bcn, bc, a_src, SMT, GT, TZ,
         lax.fori_loop(0, bcn[0, 0], sct, 0)
 
     _pass_body(C2, Wt, Wt, W8, WN, WQ, WV, E, cnt[0, 2], ev2, val,
-               a_src, SMT, GT, TZ, gat_t, gat_m, gat_a, gat_b, gat_g,
+               a_ref, SMT, GT, TZ, gat_t, gat_m, gat_a, gat_b, gat_g,
                gat_z, gat_dm, scat,
                (mT2, bT2, iT2, acc0b, acc1b, pA2, pB2, qb2),
                facc, val if is_solve else bc, flag_slot=4,
-               hbm=(False, False, False),
-               sem=None, KR=1, has_ab=True,
+               hbm=(hbm_t, hbm_a, False),
+               sem=sem, KR=KR, KRT=KR if hbm_t else 1, has_ab=True,
                m0=(fl & 2) != 0, d0=(fl & 8) != 0,
                um=(fl & 64) != 0, ud=(fl & 128) != 0)
 
 
 def _ab_call(cnt, hs, hsl, hd, ev1, bidx, bcn, diag_b, val, SMT, GT,
              TZ, facc, mbc, *, n, E, W8, WN, WQ, WV, WI8, H, C1, CB8,
-             heads, Wt, is_solve):
+             heads, Wt, is_solve, hbm=False, KR=1):
     HACC = max(2 * WI8, WN, WV) + 24
     ACC = max(WN, 2 * WQ + 2, WV) + 24
     LL = max(H, 8)
@@ -157,16 +209,18 @@ def _ab_call(cnt, hs, hsl, hd, ev1, bidx, bcn, diag_b, val, SMT, GT,
     n8 = SMT.shape[0]
     kern = functools.partial(
         _ab_kernel, n=n, E=E, W8=W8, WN=WN, WQ=WQ, WV=WV, WI8=WI8,
-        H=H, C1=C1, CB8=CB8, heads=heads, Wt=Wt, is_solve=is_solve)
+        H=H, C1=C1, CB8=CB8, heads=heads, Wt=Wt, is_solve=is_solve,
+        hbm=hbm, KR=KR)
+    tshape = (KR, C1, 128) if hbm else (C1, Wt)
     scratch = [
-        pltpu.VMEM((C1, Wt), jnp.int32),      # gat_t
+        pltpu.VMEM(tshape, jnp.int32),        # gat_t
         pltpu.VMEM((C1, W8), jnp.int32),      # gat_m
         pltpu.VMEM((C1, W8), jnp.int32),      # gat_a (unused, pass1)
         pltpu.VMEM((C1, Wt), jnp.int32),      # gat_b (unused, pass1)
         pltpu.VMEM((C1, WI8), jnp.int32),     # gat_g
         pltpu.VMEM((C1, 8), jnp.int32),       # gat_z
         pltpu.VMEM((C1, W8), jnp.int32),      # gat_dm
-        pltpu.VMEM((C1, Wt), jnp.int32),      # scat
+        pltpu.VMEM(tshape, jnp.int32),        # scat
         pltpu.VMEM((W8, C1), jnp.int32),      # mT1
         pltpu.VMEM((Wt, C1), jnp.int32),      # bT1
         pltpu.VMEM((WQ, C1), jnp.int32),      # iT1
@@ -192,10 +246,18 @@ def _ab_call(cnt, hs, hsl, hd, ev1, bidx, bcn, diag_b, val, SMT, GT,
         pltpu.VMEM((WI8, LL), jnp.int32),     # lu
         pltpu.VMEM((1, LL), jnp.int32),       # ltz
     ]
+    if hbm:
+        scratch += [
+            pltpu.VMEM((KR, max(H, 8), 128), jnp.int32),   # hrows
+            pltpu.VMEM((KR, CB8, 128), jnp.int32),         # bgat
+            pltpu.SemaphoreType.DMA(()),                   # sem
+        ]
+    val_spec = (pl.BlockSpec(memory_space=pl.ANY) if hbm
+                else _vmem((E8v, Wt)))
     out = pl.pallas_call(
         kern,
         out_shape=(
-            jax.ShapeDtypeStruct((E8v, Wt), jnp.int32),    # val
+            jax.ShapeDtypeStruct(val.shape, jnp.int32),    # val
             jax.ShapeDtypeStruct((n8, W8), jnp.int32),     # SMT
             jax.ShapeDtypeStruct((n8, WI8), jnp.int32),    # GT
             jax.ShapeDtypeStruct((n8, 8), jnp.int32),      # TZ
@@ -206,11 +268,11 @@ def _ab_call(cnt, hs, hsl, hd, ev1, bidx, bcn, diag_b, val, SMT, GT,
             _smem((1, 4)), _smem((1, H)), _smem((1, H)), _smem((1, H)),
             _smem((1, 5, C1)), _smem((1, CB8)), _smem((1, 1)),
             _vmem((max(H, 8), Wt)),
-            _vmem((E8v, Wt)), _vmem((n8, W8)), _vmem((n8, WI8)),
-            _vmem((n8, 8)), _vmem((8, 128)), _vmem((1, CB8)),
+            val_spec, _vmem((n8, W8)), _vmem((n8, WI8)),
+            _vmem((n8, 8)), _vmem((8, 128)), _smem((1, CB8)),
         ],
         out_specs=(
-            _vmem((E8v, Wt)), _vmem((n8, W8)), _vmem((n8, WI8)),
+            val_spec, _vmem((n8, W8)), _vmem((n8, WI8)),
             _vmem((n8, 8)), _vmem((8, 128)), _vmem((CB8, Wt)),
         ),
         input_output_aliases={8: 0, 9: 1, 10: 2, 11: 3, 12: 4},
@@ -225,23 +287,27 @@ def _ab_call(cnt, hs, hsl, hd, ev1, bidx, bcn, diag_b, val, SMT, GT,
 
 
 def _c_call(cnt, ev2, bidx, bcn, bc, a_src, SMT, GT, TZ, val, facc,
-            *, n, E, W8, WN, WQ, WV, WI8, C2, Wt, is_solve):
+            *, n, E, W8, WN, WQ, WV, WI8, C2, Wt, is_solve,
+            hbm_t=False, hbm_a=False, KR=1):
     ACC = max(WN, 2 * WQ + 2, WV) + 24
     E8v = val.shape[0]
     n8 = SMT.shape[0]
     CB8 = bc.shape[0]
     kern = functools.partial(
         _c_kernel, n=n, E=E, W8=W8, WN=WN, WQ=WQ, WV=WV, WI8=WI8,
-        C2=C2, Wt=Wt, is_solve=is_solve)
+        C2=C2, Wt=Wt, is_solve=is_solve, hbm_t=hbm_t, hbm_a=hbm_a,
+        KR=KR)
+    tshape = (KR, C2, 128) if hbm_t else (C2, Wt)
+    ashape = (KR, C2, 128) if hbm_a else (C2, W8)
     scratch = [
-        pltpu.VMEM((C2, Wt), jnp.int32),      # gat_t
+        pltpu.VMEM(tshape, jnp.int32),        # gat_t
         pltpu.VMEM((C2, W8), jnp.int32),      # gat_m
-        pltpu.VMEM((C2, W8), jnp.int32),      # gat_a
+        pltpu.VMEM(ashape, jnp.int32),        # gat_a
         pltpu.VMEM((C2, Wt), jnp.int32),      # gat_b
         pltpu.VMEM((C2, WI8), jnp.int32),     # gat_g
         pltpu.VMEM((C2, 8), jnp.int32),       # gat_z
         pltpu.VMEM((C2, W8), jnp.int32),      # gat_dm
-        pltpu.VMEM((C2, Wt), jnp.int32),      # scat
+        pltpu.VMEM(tshape, jnp.int32),        # scat
         pltpu.VMEM((W8, C2), jnp.int32),      # mT2
         pltpu.VMEM((Wt, C2), jnp.int32),      # bT2
         pltpu.VMEM((WQ, C2), jnp.int32),      # iT2
@@ -251,20 +317,26 @@ def _c_call(cnt, ev2, bidx, bcn, bc, a_src, SMT, GT, TZ, val, facc,
         pltpu.VMEM((WN, C2), jnp.int32),      # pB2
         pltpu.VMEM((WN, C2), jnp.int32),      # qb2
     ]
+    if hbm_t or hbm_a:
+        scratch.append(pltpu.SemaphoreType.DMA(()))        # sem
+    tgt_spec = (pl.BlockSpec(memory_space=pl.ANY) if hbm_t
+                else _vmem((E8v, Wt)))
+    a_spec = (pl.BlockSpec(memory_space=pl.ANY) if hbm_a and not hbm_t
+              else _vmem(a_src.shape))
     out = pl.pallas_call(
         kern,
         out_shape=(
-            jax.ShapeDtypeStruct((E8v, Wt), jnp.int32),    # val
+            jax.ShapeDtypeStruct(val.shape, jnp.int32),    # val
             jax.ShapeDtypeStruct((8, 128), jnp.int32),     # facc
         ),
         in_specs=[
             _smem((1, 4)), _smem((1, 5, C2)), _smem((1, CB8)),
             _smem((1, 1)),
-            _vmem((CB8, Wt)), _vmem((a_src.shape[0], W8)),
+            _vmem((CB8, Wt)), a_spec,
             _vmem((n8, W8)), _vmem((n8, WI8)), _vmem((n8, 8)),
-            _vmem((E8v, Wt)), _vmem((8, 128)),
+            tgt_spec, _vmem((8, 128)),
         ],
-        out_specs=(_vmem((E8v, Wt)), _vmem((8, 128))),
+        out_specs=(tgt_spec, _vmem((8, 128))),
         input_output_aliases={9: 0, 10: 1},
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
@@ -279,14 +351,14 @@ def _c_call(cnt, ev2, bidx, bcn, bc, a_src, SMT, GT, TZ, val, facc,
     jax.jit, static_argnames=("mesh", "n", "E", "W8", "Ws8", "WN",
                               "WNS", "WI8", "H", "C1", "C2", "CBf",
                               "CBs", "nrhs", "ndet", "segments",
-                              "ssegments"))
+                              "ssegments", "hbm_segs", "Lp8"))
 def fused_sharded_solve(mesh: Mesh, n, E, W8, Ws8, WN, WNS, WI8, H,
                         C1, C2, CBf, CBs, nrhs,
                         fhs, fhsl, fhd, f_mdiag, f_cnt, f_ev1, f_ev2,
                         f_bidx, f_bcnt, f_mbc,
                         s_cnt, s_ev1, s_ev2, s_bidx, s_bcnt, s_mbc,
                         xown, val0, X0, ndet=None, segments=None,
-                        ssegments=None):
+                        ssegments=None, hbm_segs=None, Lp8=None):
     """ONE XLA program: sharded factor scan + per-RHS sharded solve
     scans. Returns a replicated flat int32 vector
     [fsing, fovf, sovf, det (W8), X (nrhs*n*Ws8)].
@@ -302,16 +374,31 @@ def fused_sharded_solve(mesh: Mesh, n, E, W8, Ws8, WN, WNS, WI8, H,
     quadratic in width); val/X widen and GT re-lifts at each segment
     boundary, all chip-local (tables are replicated, no extra
     collectives). val0 must be packed at segments[0] width, X0 at
-    ssegments[0] width."""
-    from ..tpu.relift import relift_gt, widen_tc
+    ssegments[0] width.
+
+    hbm_segs: per-factor-segment HBM flags (driver: val_table_in_hbm
+    at the PER-CHIP row count — the partition divides the table across
+    chips, so HBM mode engages p× later than single-chip). An HBM
+    segment keeps its per-chip table as [Lp8*KR, 128] packed planes in
+    ANY memory and the kernels move rows by async DMA (_gather_row /
+    _scatter_row); widen_val converts layouts at segment boundaries.
+    The solve scans gather their a-operands from the finished table in
+    its final layout. X and the rho/inverse tables stay VMEM-resident
+    (O(n) objects; the value table is the O(nnz + fill) one). val0
+    must arrive packed in hbm_segs[0]'s layout."""
+    from ..tpu.relift import relift_gt, widen_tc, widen_val
     if ndet is None:
         ndet = n
     if segments is None:
         segments = ((0, f_cnt.shape[1], W8),)
     if ssegments is None:
         ssegments = ((0, s_cnt.shape[1], Ws8),)
+    if hbm_segs is None:
+        hbm_segs = (False,) * len(segments)
     axes = mesh_axes(mesh)
-    E8v = val0.shape[1]                  # per-chip local table rows
+    # per-chip local table rows (slots); HBM packing flattens the
+    # minor axes to [Lp8 * KR, 128], so the slot count rides in as Lp8
+    E8v = Lp8 if Lp8 is not None else val0.shape[1]
     n8v = _r8(ndet + 2)
     S = len(segments)
     H8 = max(H, 8)
@@ -329,13 +416,17 @@ def fused_sharded_solve(mesh: Mesh, n, E, W8, Ws8, WN, WNS, WI8, H,
         xown = sq(xown)
         facc0 = jnp.zeros((8, 128), jnp.int32)
 
-        def fstep_at(W8s, WNs, WQf, WVf, WIs):
+        dummy_a = jnp.zeros((8, 128), jnp.int32)
+
+        def fstep_at(W8s, WNs, WQf, WVf, WIs, hseg, KRs):
             def fstep(carry, xs):
                 val, SMT, GT, TZ, facc = carry
                 (hs, hsl, hd, mdiag, cnt, e1, e2, bidx, bcnt, mbc) = xs
                 # psum#1: owner-masked current diagonals of this chunk
                 # (hsl is this chip's LOCAL index — dummy row off-chip)
-                contrib = val[jnp.minimum(hsl, E8v - 1)] \
+                vrows = (val.reshape(E8v, KRs * 128)[:, :W8s]
+                         if hseg else val)
+                contrib = vrows[jnp.minimum(hsl, E8v - 1)] \
                     * mdiag[:, None]
                 diag_b = lax.psum(contrib, axes)
                 diag_b = jnp.concatenate(
@@ -346,12 +437,15 @@ def fused_sharded_solve(mesh: Mesh, n, E, W8, Ws8, WN, WNS, WI8, H,
                     val, SMT, GT, TZ, facc, mbc,
                     n=n, E=E, W8=W8s, WN=WNs, WQ=WQf, WV=WVf,
                     WI8=WIs, H=H, C1=C1, CB8=f_bidx.shape[-1],
-                    heads=True, Wt=W8s, is_solve=False)
+                    heads=True, Wt=W8s, is_solve=False,
+                    hbm=hseg, KR=KRs)
                 bc = lax.psum(bc_loc, axes)
                 val, facc = _c_call(
-                    cnt, e2, bidx, bcnt, bc, val, SMT, GT, TZ, val,
+                    cnt, e2, bidx, bcnt, bc,
+                    dummy_a if hseg else val, SMT, GT, TZ, val,
                     facc, n=n, E=E, W8=W8s, WN=WNs, WQ=WQf, WV=WVf,
-                    WI8=WIs, C2=C2, Wt=W8s, is_solve=False)
+                    WI8=WIs, C2=C2, Wt=W8s, is_solve=False,
+                    hbm_t=hseg, hbm_a=hseg, KR=KRs)
                 return (val, SMT, GT, TZ, facc), None
             return fstep
 
@@ -359,31 +453,34 @@ def fused_sharded_solve(mesh: Mesh, n, E, W8, Ws8, WN, WNS, WI8, H,
         facc = facc0
         SMT = GT = TZ = None
         prev = None
-        for (lo, hi, W8s) in segments:
+        for (lo, hi, W8s), hseg in zip(segments, hbm_segs):
             WNs = _r8(2 * W8s + 2)
             WQf = _r8(W8s + 2)
             WIs = max(WQf, WI8) if S == 1 else WQf
+            KRs = _r128(W8s) // 128 if hseg else 1
             if prev is None:
                 SMT = jnp.zeros((n8v, W8s), jnp.int32).at[0, 0].set(1)
                 GT = jnp.zeros((n8v, WIs), jnp.int32).at[0, 0].set(1)
                 TZ = jnp.zeros((n8v, 8), jnp.int32)
             else:
-                pW8, pWI = prev
-                val = widen_tc(val, pW8, W8s)
+                pW8, pWI, phbm = prev
+                val = widen_val(val, E8v, pW8, W8s, phbm, hseg)
                 SMT = widen_tc(SMT, pW8, W8s)
                 GT = relift_gt(SMT, GT, TZ, W8s, pWI, WIs)
             WVf = _r8(WQf + W8s)
             (val, SMT, GT, TZ, facc), _ = lax.scan(
-                fstep_at(W8s, WNs, WQf, WVf, WIs),
+                fstep_at(W8s, WNs, WQf, WVf, WIs, hseg, KRs),
                 (val, SMT, GT, TZ, facc),
                 (fhs[lo:hi], fhsl[lo:hi], fhd[lo:hi],
                  f_mdiag[lo:hi], f_cnt[lo:hi], f_ev1[lo:hi],
                  f_ev2[lo:hi], f_bidx[lo:hi], f_bcnt[lo:hi],
                  f_mbc[lo:hi]))
-            prev = (W8s, WIs)
+            prev = (W8s, WIs, hseg)
         fsing = lax.psum(facc[0, 0], axes)
         fovf = lax.psum(facc[1, 0], axes)
         det_row = SMT[ndet]
+        hbm_fin = prev[2]
+        KRf = _r128(W8) // 128 if hbm_fin else 1
         WIf = prev[1]
         WQs_full = _r8(Ws8 + 2)
         if WIf < min(WI8, WQs_full):
@@ -410,7 +507,8 @@ def fused_sharded_solve(mesh: Mesh, n, E, W8, Ws8, WN, WNS, WI8, H,
                 X, facc = _c_call(
                     cnt, e2, bidx, bcnt, bc, val, SMT, GT, TZ, X,
                     facc, n=n, E=E, W8=W8, WN=WNs, WQ=WQss, WV=WVss,
-                    WI8=WIf, C2=C2, Wt=Ws_s, is_solve=True)
+                    WI8=WIf, C2=C2, Wt=Ws_s, is_solve=True,
+                    hbm_a=hbm_fin, KR=KRf)
                 return (X, facc), None
             return sstep
 
