@@ -166,10 +166,12 @@ def _c_kernel(cnt, ev2, bidx, bcn, bc, a_src, SMT, GT, TZ,
     stream: B operands are X rows; the broadcast scatters into the
     full per-chip X first.
 
-    hbm_t: the target value table is HBM-packed planes (factor stream
-    at scale) — `a_src` is then a dummy and the a operands read through
-    the SAME aliased ref (the single-chip kernel's layout). hbm_a
-    without hbm_t: solve stream whose finished factor table is
+    Factor streams read their a operands through the SAME (aliased)
+    target ref — `a_src` is a dummy there; passing the table as a
+    second input would double its VMEM window (or HBM copy) per chunk.
+    The single-chip kernel has the same one-ref layout. hbm_t: the
+    target value table is HBM-packed planes (factor stream at scale).
+    hbm_a without hbm_t: solve stream whose finished factor table is
     HBM-packed (a rows DMA-gather; X stays VMEM)."""
     if hbm_t or hbm_a:
         *scratch, sem = scratch
@@ -178,7 +180,7 @@ def _c_kernel(cnt, ev2, bidx, bcn, bc, a_src, SMT, GT, TZ,
     (gat_t, gat_m, gat_a, gat_b, gat_g, gat_z, gat_dm, scat,
      mT2, bT2, iT2, acc0b, acc1b, pA2, pB2, qb2) = scratch
     fl = cnt[0, 3]
-    a_ref = val if (hbm_t and not is_solve) else a_src
+    a_ref = a_src if is_solve else val
 
     if is_solve:
         def sct(e, _):
@@ -442,7 +444,7 @@ def fused_sharded_solve(mesh: Mesh, n, E, W8, Ws8, WN, WNS, WI8, H,
                 bc = lax.psum(bc_loc, axes)
                 val, facc = _c_call(
                     cnt, e2, bidx, bcnt, bc,
-                    dummy_a if hseg else val, SMT, GT, TZ, val,
+                    dummy_a, SMT, GT, TZ, val,
                     facc, n=n, E=E, W8=W8s, WN=WNs, WQ=WQf, WV=WVf,
                     WI8=WIs, C2=C2, Wt=W8s, is_solve=False,
                     hbm_t=hseg, hbm_a=hseg, KR=KRs)
